@@ -1,0 +1,156 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic web-page corpus + dictionary fixtures
+  * (FIXTURES.md §1-2), derived purely from the driver-provided parquet
+  * tables so every `SparkEntry.queries` entry stays a function of
+  * `(spark, sfDir)` and the DuckDB oracle can rebuild the exact same
+  * values relationally.
+  *
+  * One page per `orders` row:
+  *   url     = 'https://ex.org/' || o_orderkey
+  *   warc_ts = o_orderdate
+  *   text    = "Order K was placed by C from N with priority P on D. Items: I."
+  *             where I = ', '-joined part names of the order's lineitems
+  *             sorted by (l_linenumber, p_name), or 'none'
+  *   html    = <html><head><title>…</title></head><body><p>text</p></body></html>
+  *   lang    = 'en'
+  *
+  * The dictionary mirrors the reference's ID-mapping universe
+  * (SURVEY.md §1.4, drug_adapter.py:512-646, disease_adapter.py:701-733):
+  * aliases are part names (ambiguous: ~62 names over many partkeys —
+  * the priority-fallback + connected-components canonicalization target),
+  * customer names and nation names (unambiguous).
+  */
+object Corpus {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The ', '-joined item list per order, sorted by (l_linenumber, p_name).
+    * Sorting key includes p_name because l_linenumber is NOT unique per
+    * order in the test data; the composite key makes the concat
+    * deterministic under any partitioning. */
+  private def itemsPerOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val part = table(spark, sfDir, "part")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("l_linenumber"), col("p_name")))),
+            x => x.getField("p_name")),
+          ", ").as("items"))
+  }
+
+  /** Body text of each page (the value the extractor must reproduce). */
+  def pageText(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = table(spark, sfDir, "orders")
+    val c = table(spark, sfDir, "customer")
+    val n = table(spark, sfDir, "nation")
+    val items = itemsPerOrder(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(items, o("o_orderkey") === items("l_orderkey"), "left")
+      .select(
+        concat(lit("https://ex.org/"), col("o_orderkey")).as("url"),
+        col("o_orderdate").as("warc_ts"),
+        concat(
+          lit("Order "), col("o_orderkey"),
+          lit(" was placed by "), col("c_name"),
+          lit(" from "), col("n_name"),
+          lit(" with priority "), col("o_orderpriority"),
+          lit(" on "), date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          lit(". Items: "), coalesce(col("items"), lit("none")),
+          lit(".")).as("text"),
+        lit("en").as("lang"))
+  }
+
+  /** Full Page table (url, warc_ts, html binary, text, lang). The html is
+    * built around the text; HtmlText.extract(html) must return `text`
+    * byte-identically (unit-tested + audited with xxhash64 in-pipeline). */
+  def pages(spark: SparkSession, sfDir: String): DataFrame =
+    pageText(spark, sfDir).select(
+      col("url"), col("warc_ts"),
+      encode(concat(
+        lit("<html><head><title>"), col("url"),
+        lit("</title></head><body><p>"), col("text"),
+        lit("</p></body></html>")), "UTF-8").as("html"),
+      col("text"), col("lang"))
+
+  /** Alias dictionary (alias, entity_id, entity_label, priority).
+    * Part aliases are many-to-one ambiguous (multiple partkeys share a
+    * name); priority = partkey so rank-1 resolution is deterministic. */
+  def aliasDict(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = table(spark, sfDir, "part")
+    val cust = table(spark, sfDir, "customer")
+    val nat = table(spark, sfDir, "nation")
+    val p = part.select(
+      col("p_name").as("alias"),
+      concat(lit("PARTRAW:"), col("p_partkey")).as("entity_id"),
+      lit("product").as("entity_label"),
+      col("p_partkey").cast("int").as("priority"))
+    val c = cust.select(
+      col("c_name").as("alias"),
+      concat(lit("CUST:"), col("c_custkey")).as("entity_id"),
+      lit("customer").as("entity_label"),
+      lit(0).as("priority"))
+    val n = nat.select(
+      col("n_name").as("alias"),
+      concat(lit("NATION:"), col("n_nationkey")).as("entity_id"),
+      lit("nation").as("entity_label"),
+      lit(0).as("priority"))
+    p.unionByName(c).unionByName(n)
+  }
+
+  /** Same-name chain edges over parts: consecutive partkeys within each
+    * p_name group, i.e. a path graph per name (NOT a clique) — the
+    * connected-components stage must actually propagate labels along
+    * paths of length ~|group| to resolve the canonical id. */
+  def partSameNameEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = table(spark, sfDir, "part")
+    val w = Window.partitionBy(col("p_name")).orderBy(col("p_partkey"))
+    part
+      .select(col("p_name"), col("p_partkey"))
+      .withColumn("prev", lag(col("p_partkey"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(
+        concat(lit("PARTRAW:"), col("prev")).as("src"),
+        concat(lit("PARTRAW:"), col("p_partkey")).as("dst"))
+  }
+
+  /** Canonicalization table (raw_id, canonical_id, priority): part raw ids
+    * map to the canonical (min-partkey-of-name) PART: id — produced by
+    * connected components over the same-name chain graph — plus identity
+    * rows for customers and nations, plus deliberate priority-2 decoys to
+    * exercise the rank-1 fallback (reference: disease_adapter.py:2282-2319). */
+  def canonicalIds(spark: SparkSession, sfDir: String): DataFrame = {
+    val verts = table(spark, sfDir, "part")
+      .select(concat(lit("PARTRAW:"), col("p_partkey")).as("v"))
+    val cc = graft.cc.ConnectedComponents.run(
+      spark, partSameNameEdges(spark, sfDir), Some(verts))
+    val partMap = cc.select(
+      col("member").as("raw_id"),
+      concat(lit("PART:"), regexp_replace(col("component"), "^PARTRAW:", ""))
+        .as("canonical_id"),
+      lit(1).as("priority"))
+    val decoys = cc.select(
+      col("member").as("raw_id"),
+      concat(lit("PARTX:"), regexp_replace(col("member"), "^PARTRAW:", ""))
+        .as("canonical_id"),
+      lit(2).as("priority"))
+    val cust = table(spark, sfDir, "customer").select(
+      concat(lit("CUST:"), col("c_custkey")).as("raw_id"),
+      concat(lit("CUST:"), col("c_custkey")).as("canonical_id"),
+      lit(1).as("priority"))
+    val nat = table(spark, sfDir, "nation").select(
+      concat(lit("NATION:"), col("n_nationkey")).as("raw_id"),
+      concat(lit("NATION:"), col("n_nationkey")).as("canonical_id"),
+      lit(1).as("priority"))
+    partMap.unionByName(decoys).unionByName(cust).unionByName(nat)
+  }
+}
