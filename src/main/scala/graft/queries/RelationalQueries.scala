@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.Corpus
+import graft.merge.MergeSources
+import graft.merge.MergeSources.{FirstNonNull, OrderedConcat, PipeSetUnion}
+import graft.dedup.PairDedup
+import graft.functions.{Aggs, StringFns}
+import graft.queries.CoreQueries.tune
+
+/** The reference's relational operator vocabulary (SURVEY.md §2.2-2.9)
+  * exercised over the driver tables, each with a DuckDB oracle. The
+  * per-source fixtures are carved from lineitem (FIXTURES.md §3): three
+  * "databases" keyed on the same pair key, mirroring intact/biogrid/
+  * string (ppi_adapter.py) and the DTI merge chain (drug_adapter.py).
+  */
+object RelationalQueries {
+
+  private def li(s: SparkSession, dir: String) = Corpus.table(s, dir, "lineitem")
+
+  /** intact-like source: top score + pubmed set per pair. */
+  private def srcA(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).filter(pmod(col("l_linenumber"), lit(3)) === 0)
+      .groupBy(
+        concat(lit("P"), col("l_partkey")).as("id_a"),
+        concat(lit("S"), col("l_suppkey")).as("id_b"))
+      .agg(
+        max(col("l_extendedprice")).as("score"),
+        min(concat(col("l_returnflag"), col("l_linestatus"))).as("method"),
+        Aggs.pipeSetUnionAgg(col("l_orderkey").cast("string")).as("pubmeds"))
+      .withColumn("source", lit("intact"))
+
+  /** biogrid-like source: experimental system only. */
+  private def srcB(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).filter(pmod(col("l_linenumber"), lit(3)) === 1)
+      .groupBy(
+        concat(lit("P"), col("l_partkey")).as("id_a"),
+        concat(lit("S"), col("l_suppkey")).as("id_b"))
+      .agg(min(col("l_linestatus")).as("method"))
+      .withColumn("source", lit("biogrid"))
+
+  /** string-like source: integer combined score + its own pubmeds. */
+  private def srcC(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).filter(pmod(col("l_linenumber"), lit(3)) === 2)
+      .groupBy(
+        concat(lit("P"), col("l_partkey")).as("id_a"),
+        concat(lit("S"), col("l_suppkey")).as("id_b"))
+      .agg(
+        floor(max(col("l_quantity"))).cast("int").as("combined"),
+        Aggs.pipeSetUnionAgg(col("l_orderkey").cast("string")).as("pubmeds"))
+      .withColumn("source", lit("string"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1/J2: the signature ordered full-outer fold + column fusion.
+    "q_merge_edges" -> ((s, dir) => {
+      tune(s)
+      MergeSources.mergeAll(
+        Seq(srcA(s, dir), srcB(s, dir), srcC(s, dir)),
+        keys = Seq("id_a", "id_b"),
+        rules = Seq(OrderedConcat("source"), FirstNonNull("method"),
+          PipeSetUnion("pubmeds")))
+    }),
+    // §2.5: reciprocal pair dedup (canonical pair + top-1 by score).
+    "q_pair_dedup" -> ((s, dir) => {
+      tune(s)
+      val pairs = li(s, dir).select(
+        concat(lit("E"), pmod(col("l_partkey"), lit(40))).as("x"),
+        concat(lit("E"), pmod(col("l_suppkey"), lit(40))).as("y"),
+        col("l_returnflag").as("itype"),
+        col("l_extendedprice").as("score"))
+        .filter(col("x") =!= col("y")) // P7 self-loop removal
+      PairDedup.dedupReciprocal(pairs, "x", "y", Seq("itype"),
+          Seq(col("score").desc, col("x").asc))
+        .select("k1", "k2", "itype", "score")
+    }),
+    // A1: top-1 per group after score sort.
+    "q_top1_per_group" -> ((s, dir) => {
+      tune(s)
+      Aggs.top1PerGroup(Corpus.table(s, dir, "orders"),
+          Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+    // A4: exact median per group.
+    "q_median" -> ((s, dir) => {
+      tune(s)
+      li(s, dir).groupBy("l_returnflag")
+        .agg(Aggs.medianAgg(col("l_quantity")).as("med_qty"))
+    }),
+    // A2: set-union concat of multi-value column + distinct count.
+    "q_set_union" -> ((s, dir) => {
+      tune(s)
+      li(s, dir).groupBy("l_orderkey").agg(
+        Aggs.pipeSetUnionAgg(col("l_returnflag")).as("flags"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+    }),
+    // A5: middle-row pick per group (explicit-order formulation).
+    "q_middle_row" -> ((s, dir) => {
+      tune(s)
+      Aggs.middleRow(li(s, dir), Seq("l_orderkey"),
+          Seq(col("l_extendedprice"), col("l_partkey"), col("l_linenumber")),
+          "l_extendedprice", "mid")
+        .select("l_orderkey", "mid")
+    }),
+    // A6: conflict lattice ('P' plays Unknown).
+    "q_conflict_lattice" -> ((s, dir) => {
+      tune(s)
+      Corpus.table(s, dir, "orders").groupBy("o_custkey")
+        .agg(collect_set(col("o_orderstatus")).as("st"))
+        .select(col("o_custkey"),
+          Aggs.conflictLattice(col("st"), unknown = "P").as("effect"))
+    }),
+    // P2: allow-list semi-join filter.
+    "q_semi_join" -> ((s, dir) => {
+      tune(s)
+      val rich = Corpus.table(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      Corpus.table(s, dir, "orders")
+        .join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey")
+    }),
+    // P3: anti-join drop.
+    "q_anti_join" -> ((s, dir) => {
+      tune(s)
+      val rich = Corpus.table(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      Corpus.table(s, dir, "orders")
+        .join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("o_orderkey", "o_custkey")
+    }),
+    // F10: EC-code hierarchy derivation + explode.
+    "q_ec_hierarchy" -> ((s, dir) => {
+      tune(s)
+      val p = Corpus.table(s, dir, "part").select(
+        col("p_partkey"),
+        concat_ws(".",
+          (pmod(col("p_partkey"), lit(7)) + 1),
+          (pmod(floor(col("p_partkey") / 7).cast("long"), lit(7)) + 1),
+          (pmod(floor(col("p_partkey") / 49).cast("long"), lit(7)) + 1),
+          (pmod(floor(col("p_partkey") / 343).cast("long"), lit(7)) + 1)).as("ec"))
+      p.select(col("p_partkey"), col("ec"),
+        explode(StringFns.ecParents(col("ec"))).as("parent"))
+    }),
+    // F3: protein-name parser over synthesized gnarly strings.
+    "q_protein_names" -> ((s, dir) => {
+      tune(s)
+      val p = Corpus.table(s, dir, "part").select(
+        col("p_partkey"),
+        concat(
+          col("p_name"), lit(" (EC 2.7.2."), pmod(col("p_partkey"), lit(10)),
+          lit(") ("), upper(col("p_name")), lit(")"),
+          when(col("p_size") > 20, lit(" (Fragment)")).otherwise(lit("")),
+          when(pmod(col("p_size"), lit(5)) === 0,
+            lit(" [Cleaved into: junk]")).otherwise(lit(""))).as("raw"))
+      val parsed = p.withColumn("names", StringFns.parseProteinNames(col("raw")))
+      parsed.select(
+        col("p_partkey"),
+        element_at(col("names"), 1).as("primary_name"),
+        concat_ws("|", slice(col("names"), lit(2), size(col("names")))).as("aliases"))
+    }),
+    // O-family: transitive ancestors via iterative self-join.
+    "q_ontology_ancestors" -> ((s, dir) => {
+      tune(s)
+      val nat = Corpus.table(s, dir, "nation").select(
+        concat(lit("N"), col("n_nationkey")).as("child"),
+        concat(lit("R"), col("n_regionkey")).as("parent"))
+      val reg = Corpus.table(s, dir, "region").select(
+        concat(lit("R"), col("r_regionkey")).as("child"),
+        lit("ROOT").as("parent"))
+      graft.ontology.Hierarchy.ancestors(nat.unionByName(reg))
+    }),
+    // J7: nested-loop-in-reference → derived-key equi-join here.
+    "q_derived_key_join" -> ((s, dir) => {
+      tune(s)
+      val p = Corpus.table(s, dir, "part").select("p_partkey", "p_name")
+      p.alias("a").join(p.alias("b"),
+          col("a.p_name") === col("b.p_name") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
+          col("a.p_name").as("name"))
+    }),
+    // Time-window aggregation over the events table (streaming-shaped;
+    // the Structured Streaming equivalence is asserted in ScalaTest).
+    "q_events_hourly" -> ((s, dir) => {
+      tune(s)
+      Corpus.table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+          min(col("user_id")).as("min_user"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"), col("n"), col("sum_value"), col("min_user"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_merge_edges" ->
+      """WITH a AS (
+        |  SELECT 'P'||l_partkey id_a, 'S'||l_suppkey id_b,
+        |         max(l_extendedprice) score,
+        |         min(l_returnflag||l_linestatus) AS "method",
+        |         array_to_string(list_sort(list_distinct(list(CAST(l_orderkey AS VARCHAR)))),'|') pubmeds
+        |  FROM lineitem WHERE l_linenumber%3=0 GROUP BY 1,2),
+        |b AS (
+        |  SELECT 'P'||l_partkey id_a, 'S'||l_suppkey id_b,
+        |         min(l_linestatus) AS "method"
+        |  FROM lineitem WHERE l_linenumber%3=1 GROUP BY 1,2),
+        |c AS (
+        |  SELECT 'P'||l_partkey id_a, 'S'||l_suppkey id_b,
+        |         CAST(floor(max(l_quantity)) AS INT) combined,
+        |         array_to_string(list_sort(list_distinct(list(CAST(l_orderkey AS VARCHAR)))),'|') pubmeds
+        |  FROM lineitem WHERE l_linenumber%3=2 GROUP BY 1,2),
+        |ab AS (
+        |  SELECT coalesce(a.id_a,b.id_a) id_a, coalesce(a.id_b,b.id_b) id_b,
+        |         a.score, coalesce(a."method",b."method") AS "method", a.pubmeds pubs_a,
+        |         CASE WHEN a.id_a IS NOT NULL THEN 'intact' END f_a,
+        |         CASE WHEN b.id_a IS NOT NULL THEN 'biogrid' END f_b
+        |  FROM a FULL OUTER JOIN b ON a.id_a=b.id_a AND a.id_b=b.id_b)
+        |SELECT coalesce(ab.id_a,c.id_a) id_a, coalesce(ab.id_b,c.id_b) id_b,
+        |       ab.score, ab."method",
+        |       array_to_string(list_sort(list_distinct(
+        |         coalesce(string_split(ab.pubs_a,'|'),[]) ||
+        |         coalesce(string_split(c.pubmeds,'|'),[]))),'|') pubmeds,
+        |       concat_ws('|', ab.f_a, ab.f_b,
+        |         CASE WHEN c.id_a IS NOT NULL THEN 'string' END) source,
+        |       c.combined
+        |FROM ab FULL OUTER JOIN c ON ab.id_a=c.id_a AND ab.id_b=c.id_b""".stripMargin,
+    "q_pair_dedup" ->
+      """SELECT least(x,y) k1, greatest(x,y) k2, itype, max(score) score
+        |FROM (SELECT 'E'||(l_partkey%40) x, 'E'||(l_suppkey%40) y,
+        |             l_returnflag itype, l_extendedprice score FROM lineitem)
+        |WHERE x <> y GROUP BY 1,2,3""".stripMargin,
+    "q_top1_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "q_median" ->
+      """SELECT l_returnflag, round(median(l_quantity), 3) med_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_set_union" ->
+      """SELECT l_orderkey,
+        |       array_to_string(list_sort(list_distinct(list(l_returnflag))),'|') flags,
+        |       count(DISTINCT l_partkey) n_parts
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_middle_row" ->
+      """SELECT l_orderkey,
+        |       (list(l_extendedprice ORDER BY l_extendedprice, l_partkey, l_linenumber))
+        |         [CAST(ceil(count(*)/2.0) AS INT)] mid
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_conflict_lattice" ->
+      """SELECT o_custkey,
+        |  CASE WHEN count(DISTINCT CASE WHEN o_orderstatus<>'P' THEN o_orderstatus END) = 1
+        |         THEN min(CASE WHEN o_orderstatus<>'P' THEN o_orderstatus END)
+        |       WHEN count(DISTINCT CASE WHEN o_orderstatus<>'P' THEN o_orderstatus END) = 0
+        |         THEN 'P'
+        |       ELSE NULL END AS effect
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000)""".stripMargin,
+    "q_ec_hierarchy" ->
+      """WITH comp AS (
+        |  SELECT p_partkey,
+        |         (p_partkey%7)+1 a, ((p_partkey//7)%7)+1 b,
+        |         ((p_partkey//49)%7)+1 c, ((p_partkey//343)%7)+1 d
+        |  FROM part)
+        |SELECT p_partkey, a||'.'||b||'.'||c||'.'||d ec, a||'.'||b||'.'||c||'.-' parent FROM comp
+        |UNION ALL
+        |SELECT p_partkey, a||'.'||b||'.'||c||'.'||d, a||'.'||b||'.-.-' FROM comp
+        |UNION ALL
+        |SELECT p_partkey, a||'.'||b||'.'||c||'.'||d, a||'.-.-.-' FROM comp""".stripMargin,
+    "q_protein_names" ->
+      """SELECT p_partkey, p_name AS primary_name, upper(p_name) AS aliases
+        |FROM part""".stripMargin,
+    "q_ontology_ancestors" ->
+      """SELECT 'N'||n_nationkey AS node, 'R'||n_regionkey AS ancestor FROM nation
+        |UNION
+        |SELECT 'N'||n_nationkey, 'ROOT' FROM nation
+        |UNION
+        |SELECT 'R'||r_regionkey, 'ROOT' FROM region""".stripMargin,
+    "q_derived_key_join" ->
+      """SELECT a.p_partkey k1, b.p_partkey k2, a.p_name AS "name"
+        |FROM part a JOIN part b
+        |  ON a.p_name = b.p_name AND a.p_partkey < b.p_partkey""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS "hour",
+        |       event_type, count(*) n,
+        |       sum(CAST(value AS DECIMAL(18,6))) sum_value,
+        |       min(user_id) min_user
+        |FROM events GROUP BY 1,2""".stripMargin
+  )
+}

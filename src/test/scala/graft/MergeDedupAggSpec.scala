@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.merge.MergeSources
+import graft.merge.MergeSources.{FirstNonNull, OrderedConcat, PipeSetUnion}
+import graft.dedup.PairDedup
+import graft.functions.{Aggs, StringFns}
+
+class MergeDedupAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("merge: full-outer fold fuses source order-preserving, scalars first-non-null, pubmeds set-union") {
+    val a = Seq(("x", "y", "sA", "10|11", "mA")).toDF("k1", "k2", "source", "pubmeds", "method")
+    val b = Seq(("x", "y", "sB", "11|12", "mB"), ("p", "q", "sB", "9", "mQ"))
+      .toDF("k1", "k2", "source", "pubmeds", "method")
+    val m = MergeSources.mergeAll(Seq(a, b), Seq("k1", "k2"),
+      Seq(OrderedConcat("source"), PipeSetUnion("pubmeds"), FirstNonNull("method")))
+      .as[(String, String, String, String, String)].collect().toSet
+    assert(m == Set(
+      ("x", "y", "sA|sB", "10|11|12", "mA"),
+      ("p", "q", "sB", "9", "mQ")))
+  }
+
+  test("merge: PipeSetUnion of two absents is null") {
+    val a = Seq(("x", "y", "pm")).toDF("k1", "k2", "pubmeds")
+    val b = Seq(("p", "q", "v")).toDF("k1", "k2", "other")
+    val m = MergeSources.merge(a, b, Seq("k1", "k2"), Seq(PipeSetUnion("pubmeds")))
+    val row = m.filter($"k1" === "p").select("pubmeds").head()
+    assert(row.isNullAt(0))
+  }
+
+  test("merge: commutativity of pubmed set-union across source order") {
+    val a = Seq(("x", "y", "3|1")).toDF("k1", "k2", "pubmeds")
+    val b = Seq(("x", "y", "2|1")).toDF("k1", "k2", "pubmeds")
+    val ab = MergeSources.merge(a, b, Seq("k1", "k2"), Seq(PipeSetUnion("pubmeds")))
+      .select("pubmeds").head().getString(0)
+    val ba = MergeSources.merge(b, a, Seq("k1", "k2"), Seq(PipeSetUnion("pubmeds")))
+      .select("pubmeds").head().getString(0)
+    assert(ab == ba && ab == "1|2|3")
+  }
+
+  test("pair dedup: reciprocal rows collapse, canonical k1<=k2, best score kept") {
+    val df = Seq(
+      ("a", "b", "T", 5.0), ("b", "a", "T", 9.0), // reciprocal, same type
+      ("a", "b", "U", 1.0),                        // different type survives
+      ("c", "d", "T", 2.0)
+    ).toDF("x", "y", "itype", "score")
+    val r = PairDedup.dedupReciprocal(df, "x", "y", Seq("itype"),
+        Seq($"score".desc, $"x".asc))
+      .select("k1", "k2", "itype", "score")
+      .as[(String, String, String, Double)].collect().toSet
+    assert(r == Set(("a", "b", "T", 9.0), ("a", "b", "U", 1.0), ("c", "d", "T", 2.0)))
+  }
+
+  test("pair dedup idempotence") {
+    val df = Seq(("a", "b", "T", 5.0), ("b", "a", "T", 9.0)).toDF("x", "y", "itype", "score")
+    val once = PairDedup.dedupReciprocal(df, "x", "y", Seq("itype"), Seq($"score".desc, $"x".asc))
+      .select($"k1".as("x"), $"k2".as("y"), $"itype", $"score")
+    val twice = PairDedup.dedupReciprocal(once, "x", "y", Seq("itype"), Seq($"score".desc, $"x".asc))
+      .select("k1", "k2", "itype", "score")
+    assert(twice.count() == once.count())
+  }
+
+  test("conflict lattice truth table (tfgen_adapter.py:498-513)") {
+    val cases = Seq(
+      (Seq("Activation"), "Activation"),
+      (Seq("Activation", "Unknown"), "Activation"),
+      (Seq("Unknown"), "Unknown"),
+      (Seq("Activation", "Repression"), null),
+      (Seq("Activation", "Repression", "Unknown"), null))
+    cases.foreach { case (in, want) =>
+      val got = Seq(Tuple1(in)).toDF("st")
+        .select(Aggs.conflictLattice($"st").as("e")).head()
+      assert((if (got.isNullAt(0)) null else got.getString(0)) == want, s"in=$in")
+    }
+  }
+
+  test("middle row picks element ceil(n/2) of the explicitly ordered group") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("h", 7.0))
+      .toDF("k", "v")
+    val r = Aggs.middleRow(df, Seq("k"), Seq($"v"), "v", "mid")
+      .select("k", "mid").as[(String, Double)].collect().toMap
+    assert(r == Map("g" -> 2.0, "h" -> 7.0)) // ceil(4/2)=2nd, ceil(1/2)=1st
+  }
+
+  test("protein name parser golden cases (uniprot_adapter.py:890-957)") {
+    val cases = Seq(
+      ("Acetate kinase (EC 2.7.2.1) (Acetokinase)", Seq("Acetate kinase", "Acetokinase")),
+      ("Protein X (Fragment)", Seq("Protein X")),
+      ("Alpha (EC 1.1.1.1) (Beta) [Cleaved into: Gamma]", Seq("Alpha", "Beta")),
+      ("Simple name", Seq("Simple name")))
+    cases.foreach { case (in, want) =>
+      val got = Seq(Tuple1(in)).toDF("s")
+        .select(StringFns.parseProteinNames($"s")).as[Seq[String]].head()
+      assert(got == want, s"in=$in got=$got")
+    }
+  }
+
+  test("scalar coercion golden cases (FIXTURES.md §6)") {
+    val df = Seq(("12,345", "800.0", "hsa:1017", "9606;10090")).toDF("a", "b", "c", "d")
+    val r = df.select(
+      StringFns.commaInt($"a"), StringFns.floatToIntString($"b"),
+      StringFns.keggLocal($"c"), StringFns.takeFirst($"d"))
+      .as[(Long, String, String, String)].head()
+    assert(r == ((12345L, "800", "1017", "9606")))
+  }
+
+  test("ec parents golden (ec_adapter.py:383-446)") {
+    val got = Seq(Tuple1("1.2.3.4")).toDF("ec")
+      .select(StringFns.ecParents($"ec")).as[Seq[String]].head()
+    assert(got == Seq("1.2.3.-", "1.2.-.-", "1.-.-.-"))
+    val p = Seq(Tuple1("1.2.-.-")).toDF("ec")
+      .select(StringFns.ecParent($"ec")).as[String].head()
+    assert(p == "1.-.-.-")
+  }
+
+  test("hierarchy ancestors: diamond DAG, transitive, no self") {
+    val edges = Seq(("b", "a"), ("c", "a"), ("d", "b"), ("d", "c")).toDF("child", "parent")
+    val anc = graft.ontology.Hierarchy.ancestors(edges)
+      .as[(String, String)].collect().toSet
+    assert(anc == Set(("b", "a"), ("c", "a"), ("d", "b"), ("d", "c"), ("d", "a")))
+  }
+}
