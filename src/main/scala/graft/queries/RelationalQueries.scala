@@ -181,14 +181,17 @@ object RelationalQueries {
     // the Structured Streaming equivalence is asserted in ScalaTest).
     "q_events_hourly" -> ((s, dir) => {
       tune(s)
-      Corpus.table(s, dir, "events")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).as("sum_value"),
-          min(col("user_id")).as("min_user"))
-        .select(
-          date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
-          col("event_type"), col("n"), col("sum_value"), col("min_user"))
+      graft.streaming.StreamOps.hourlyAgg(Corpus.table(s, dir, "events"))
+    }),
+    // Multimodal plumbing: binary media column -> batch feature extract
+    // (decode stubbed; rows-only — floats + engine-local stub).
+    "q_media_features" -> ((s, dir) => {
+      tune(s)
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.mediaFromDocuments(
+          Corpus.table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("width"), col("height"), col("n_bytes"))
     })
   )
 
@@ -288,6 +291,14 @@ object RelationalQueries {
       """SELECT a.p_partkey k1, b.p_partkey k2, a.p_name AS "name"
         |FROM part a JOIN part b
         |  ON a.p_name = b.p_name AND a.p_partkey < b.p_partkey""".stripMargin,
+    "q_media_features" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id%3=0 THEN 'image'
+        |       WHEN doc_id%3=1 THEN 'audio' ELSE 'video' END kind,
+        |  CAST(64 + (strlen(text) % 577) AS INT) width,
+        |  CAST(64 + ((strlen(text)*31) % 431) AS INT) height,
+        |  CAST(strlen(text) AS INT) n_bytes
+        |FROM documents""".stripMargin,
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS "hour",
         |       event_type, count(*) n,

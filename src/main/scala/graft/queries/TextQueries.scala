@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.Corpus
+import graft.textops.{DedupOps, TextOps}
+import graft.queries.CoreQueries.tune
+
+/** Training-data pipeline queries over the `documents` table: token
+  * stats, quality components, language-ID, fingerprints, dedup family.
+  * Oracle-checked where DuckDB can replicate the arithmetic; MinHash/
+  * SimHash are rows-only (hash functions differ by engine) and are
+  * correctness-tested in ScalaTest against exact Jaccard/hamming.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String) = Corpus.table(s, dir, "documents")
+
+  /** documents ∪ shifted copy of every 5th doc — injects exact-dup
+    * clusters deterministically (both engines build the same union). */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_stats" -> ((s, dir) => {
+      tune(s)
+      val t = TextOps.tokens(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.distinctTokenCount(col("text")).as("n_distinct"),
+        TextOps.stopwordCount(t, TextOps.langStopwords("en")).as("n_stop"),
+        TextOps.meanTokenLenMilli(t).as("mean_len_milli"),
+        TextOps.stopRatio(t, TextOps.langStopwords("en")).as("stop_ratio"))
+    }),
+    "q_doc_langid" -> ((s, dir) => {
+      tune(s)
+      docs(s, dir).select(col("doc_id"),
+        TextOps.langId(TextOps.tokens(col("text"))).as("predicted"))
+    }),
+    "q_doc_fingerprint" -> ((s, dir) => {
+      tune(s)
+      docs(s, dir).select(col("doc_id"),
+        TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
+    }),
+    "q_dedup_exact" -> ((s, dir) => {
+      tune(s)
+      DedupOps.exactDedup(docsWithDups(s, dir), "doc_id", "text")
+        .select("canonical_id", "n_dups")
+    }),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      tune(s)
+      DedupOps.ngramJaccardPairs(docsWithDups(s, dir), "doc_id", "text",
+        n = 3, tau = 0.5)
+    }),
+    // Rows-only (engine-specific hashing); exact-verified pairs so
+    // precision is 1 by construction; recall asserted in ScalaTest.
+    "q_minhash_neardup" -> ((s, dir) => {
+      tune(s)
+      DedupOps.minhashNearDupPairs(docsWithDups(s, dir), "doc_id", "text")
+    }),
+    "q_simhash_neardup" -> ((s, dir) => {
+      tune(s)
+      DedupOps.simhashNearDupPairs(docsWithDups(s, dir), "doc_id", "text")
+    })
+  )
+
+  private val tokSql = "string_split(text, ' ')"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_doc_stats" ->
+      s"""SELECT doc_id,
+         |  len($tokSql) n_tokens,
+         |  len(list_distinct($tokSql)) n_distinct,
+         |  len(list_filter($tokSql, t -> list_contains(['the','a','of','and','is'], t))) n_stop,
+         |  CAST(floor(list_reduce(list_transform($tokSql, x -> length(x)), (a,b) -> a+b) * 1000
+         |       / len($tokSql)) AS BIGINT) mean_len_milli,
+         |  CAST(len(list_filter($tokSql, t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+         |       / len($tokSql) stop_ratio
+         |FROM documents""".stripMargin,
+    "q_doc_langid" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  len(list_filter($tokSql, t -> list_contains(['the','a','of','and','is'], t))) en,
+         |  len(list_filter($tokSql, t -> list_contains(['el','la','de','que','y'], t))) es,
+         |  len(list_filter($tokSql, t -> list_contains(['der','die','das','und','ist'], t))) de
+         |  FROM documents)
+         |SELECT doc_id, CASE WHEN en >= es AND en >= de THEN 'en'
+         |                    WHEN es >= de THEN 'es' ELSE 'de' END predicted
+         |FROM h""".stripMargin,
+    "q_doc_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce([0] || list_transform($tokSql,
+         |    t -> (ord(t[1])*7 + length(t)) % 1048576),
+         |    (a,b) -> (a*31+b) % 1048576) fp
+         |FROM documents""".stripMargin,
+    "q_dedup_exact" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT min(doc_id) canonical_id, count(*) n_dups FROM d GROUP BY text""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' ')) - 2),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |         || ' ' || string_split(text,' ')[i+2])) shs
+        |  FROM d WHERE len(string_split(text,' ')) >= 3),
+        |inv AS (SELECT doc_id, unnest(shs) sh FROM s),
+        |sizes AS (SELECT doc_id, len(shs) sz FROM s),
+        |pairs AS (
+        |  SELECT a.doc_id id1, b.doc_id id2, count(*) common
+        |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id1, p.id2, p.common, s1.sz size1, s2.sz size2
+        |FROM pairs p JOIN sizes s1 ON s1.doc_id = p.id1
+        |JOIN sizes s2 ON s2.doc_id = p.id2
+        |WHERE p.common * 1.5 >= 0.5 * (s1.sz + s2.sz)""".stripMargin
+  )
+}

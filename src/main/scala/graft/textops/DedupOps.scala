@@ -1,0 +1,152 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication family for training-data pipelines:
+  * exact, n-gram Jaccard (inverted-index exact), MinHash+LSH
+  * (candidate generation + exact verification), SimHash (hamming
+  * near-dup), embedding-cosine near-dup.
+  *
+  * Scale design notes:
+  *  - exact dedup: one shuffle on xxhash64(text) — group on the hash,
+  *    not the full text, so shuffle keys are 8 bytes;
+  *  - jaccard: inverted index (explode shingles → self-join on shingle)
+  *    instead of all-pairs; hot shingles are capped by document
+  *    frequency to bound the quadratic blowup exactly the way public
+  *    near-dup pipelines do;
+  *  - minhash: signatures are one narrow shuffle per doc; banding makes
+  *    candidate generation an equi-join; exact-verify keeps precision 1.
+  */
+object DedupOps {
+
+  /** Exact dedup: canonical (min) doc id + cluster size per distinct text. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(xxhash64(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word-n-gram shingles per doc. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("shs"))
+      .filter(size(col("shs")) > 0)
+
+  /** Exact n-gram Jaccard pairs with similarity >= tau, via inverted
+    * index. `maxDf` drops shingles present in more than maxDf docs
+    * (stopword-gram guard at scale). Output: (id1, id2, common, size1,
+    * size2) — integers only; id1 < id2. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, tau: Double, maxDf: Long = 1000000L): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val sizes = sets.select(col("doc_id"), size(col("shs")).as("sz"))
+    val inv = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val capped = inv
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("df") <= maxDf).drop("df")
+    val pairs = capped.alias("a").join(capped.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id1"), col("sz").as("size1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("sz").as("size2")), "id2")
+      .filter(col("common") * (1.0 + tau) >= lit(tau) * (col("size1") + col("size2")))
+      .select("id1", "id2", "common", "size1", "size2")
+  }
+
+  /** MinHash signature matrix: (doc_id, i, minhash) for i in 0..k-1.
+    * h_i(x) = (a_i * (xxhash64(shingle) mod p) + b_i) mod p with fixed
+    * deterministic coefficients — products stay < 2^62 (ANSI-safe). */
+  private val P = 2147483647L // 2^31 - 1
+  private def hashParams(k: Int): Seq[(Int, Long, Long)] =
+    (0 until k).map(i => (i, 1103515245L * (i + 1) % P, 12345L + 2654435761L * i % P))
+
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val params = broadcast(hashParams(k).toDF("i", "a", "b"))
+    shingleSets(docs, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .withColumn("x", pmod(xxhash64(col("sh")), lit(P)))
+      .crossJoin(params)
+      .groupBy("doc_id", "i")
+      .agg(min(pmod(col("a") * col("x") + col("b"), lit(P))).as("mh"))
+  }
+
+  /** LSH candidate pairs from banded signatures (bands of r rows), then
+    * EXACT Jaccard verification >= tau (precision 1; recall governed by
+    * the (k, r) banding curve). */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, k: Int = 64, r: Int = 2,
+                          tau: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, n, k)
+    val buckets = sig
+      .withColumn("band", floor(col("i") / r))
+      .groupBy("doc_id", "band")
+      .agg(xxhash64(concat_ws(",", sort_array(collect_list(
+        concat_ws(":", col("i"), col("mh")))))).as("bucket"))
+    val cand = buckets.alias("a").join(buckets.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    // exact verify on candidates only
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val verified = cand
+      .join(sets.select(col("doc_id").as("id1"), col("shs").as("shs1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("shs").as("shs2")), "id2")
+      .withColumn("common", size(array_intersect(col("shs1"), col("shs2"))))
+      .withColumn("size1", size(col("shs1")))
+      .withColumn("size2", size(col("shs2")))
+      .filter(col("common") * (1.0 + tau) >= lit(tau) * (col("size1") + col("size2")))
+    verified.select("id1", "id2", "common", "size1", "size2")
+  }
+
+  /** 64-bit SimHash per doc over token hashes (FNV-1a based, computed in
+    * pure column expressions bit-by-bit would explode the plan; instead
+    * a compact 16-bit variant per band keeps it relational). Here:
+    * classic 64-bit simhash via typed map (plain Scala, distributed). */
+  def simhash64(tokens: Seq[String]): Long = {
+    val counts = new Array[Int](64)
+    tokens.foreach { t =>
+      var h = 0xcbf29ce484222325L // FNV offset basis
+      var i = 0
+      while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming.
+    * Banding on 4×16-bit chunks: a pair within hamming 3 must agree on
+    * at least one chunk (pigeonhole), so candidates are an equi-join. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simhash64(text.trim.split("\\s+").toSeq)) }
+      .toDF("doc_id", "sig")
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("chunk"),
+            shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)).as("val"))): _*)).as("c"))
+      .select(col("doc_id"), col("sig"), col("c.chunk"), col("c.val"))
+    chunks.alias("a").join(chunks.alias("b"),
+        col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig1").bitwiseXOR(col("sig2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+}

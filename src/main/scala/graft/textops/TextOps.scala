@@ -1,0 +1,68 @@
+package graft.textops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token stats, quality scoring, language-ID heuristic, document
+  * fingerprinting. All pure Column expressions (whole-stage codegen;
+  * the scan stays columnar and the ops pipeline without shuffles).
+  */
+object TextOps {
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Word n-gram shingles (for Jaccard/MinHash dedup). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, (i + j + 1).cast("int"))): _*)))
+      .otherwise(array())
+
+  /** Count of tokens contained in a fixed stopword list. */
+  def stopwordCount(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedlit(stopwords), t)))
+
+  /** Mean token length ×1000, as integer (cross-engine exact). */
+  def meanTokenLenMilli(toks: Column): Column =
+    floor(aggregate(toks, lit(0L), (acc, t) => acc + length(t)) * 1000
+      / size(toks)).cast("long")
+
+  /** Quality components: (n_tokens, n_distinct, n_stop, stop_ratio).
+    * The ratio is one IEEE division of two exact ints — bit-identical
+    * across engines. */
+  def stopRatio(toks: Column, stopwords: Seq[String]): Column =
+    stopwordCount(toks, stopwords).cast("double") / size(toks)
+
+  /** Deterministic rolling document fingerprint over tokens:
+    * token -> small int code (first-char code *7 + length), then
+    * h := (h*31 + code) mod 2^20, folded left-to-right. Stays far from
+    * long overflow (ANSI-safe) and is expressible in DuckDB via
+    * list_reduce for the oracle. */
+  def fingerprint(toks: Column): Column =
+    aggregate(
+      transform(toks, t => (ascii(substring(t, 1, 1)) * 7 + length(t)) % 1048576),
+      lit(0L),
+      (h, c) => (h * 31 + c) % 1048576)
+
+  /** Stopword lists for the language-ID heuristic (fixed, documented). */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
+  /** n-gram/stopword language-ID heuristic: argmax of per-language
+    * stopword hits with fixed priority en > es > de on ties. */
+  def langId(toks: Column): Column = {
+    val en = stopwordCount(toks, langStopwords("en"))
+    val es = stopwordCount(toks, langStopwords("es"))
+    val de = stopwordCount(toks, langStopwords("de"))
+    when(en >= es && en >= de, lit("en"))
+      .when(es >= de, lit("es"))
+      .otherwise(lit("de"))
+  }
+}

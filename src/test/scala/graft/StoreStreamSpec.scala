@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.store.GraphStore
+import graft.streaming.StreamOps
+import graft.multimodal.Multimodal
+
+class StoreStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("store: commit + readLatest round trip, lineage rows present") {
+    val base = Files.createTempDirectory("gs_").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val snap = GraphStore.commit(spark, base, "t1", df)
+    assert(snap == 0)
+    val back = GraphStore.readLatest(spark, base, "t1").get
+    assert(back.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    val lin = GraphStore.readLineage(spark, base, "t1").get
+    assert(lin.columns.toSeq ==
+      Seq("stage", "snapshot", "partition_id", "input_hash", "row_counts", "stage_ms"))
+    assert(lin.agg(sum("row_counts")).head().getLong(0) == 2L)
+  }
+
+  test("store: second commit becomes the new snapshot") {
+    val base = Files.createTempDirectory("gs_").toString
+    GraphStore.commit(spark, base, "t", Seq((1L, "a")).toDF("id", "v"))
+    GraphStore.commit(spark, base, "t", Seq((2L, "b")).toDF("id", "v"))
+    assert(GraphStore.latestSnapshot(base, "t") == 1)
+    val back = GraphStore.readLatest(spark, base, "t").get
+    assert(back.as[(Long, String)].collect().toSet == Set((2L, "b")))
+  }
+
+  test("store: a killed (manifest-less) snapshot is invisible; resume recomputes") {
+    val base = Files.createTempDirectory("gs_").toString
+    GraphStore.commit(spark, base, "t", Seq((1L, "a")).toDF("id", "v"))
+    // simulate kill mid-commit of snapshot=1: data written, no manifest
+    val dir = Paths.get(base, "stage=t", "snapshot=1")
+    Seq((99L, "dead")).toDF("id", "v").write.parquet(dir.resolve("data").toString)
+    assert(GraphStore.latestSnapshot(base, "t") == 0, "uncommitted snapshot ignored")
+    val resumed = GraphStore.readLatest(spark, base, "t").get
+    assert(resumed.as[(Long, String)].collect().toSet == Set((1L, "a")))
+    // getOrCompute resumes from the committed snapshot, not the corpse
+    val got = GraphStore.getOrCompute(spark, base, "t")(
+      Seq((5L, "new")).toDF("id", "v"))
+    assert(got.as[(Long, String)].collect().toSet == Set((1L, "a")))
+  }
+
+  test("store: getOrCompute computes once then resumes") {
+    val base = Files.createTempDirectory("gs_").toString
+    var computes = 0
+    def f = { computes += 1; Seq((1L, "a")).toDF("id", "v") }
+    GraphStore.getOrCompute(spark, base, "s")(f)
+    GraphStore.getOrCompute(spark, base, "s")(f)
+    assert(computes == 1)
+  }
+
+  test("pipeline: end-to-end matches q_triples/q_nodes; resume run is identical") {
+    val base = Files.createTempDirectory("pipe_").toString
+    val r1 = Pipeline.run(spark, TestSpark.sf0001, base, partitions = 8)
+    assert(r1.auditMismatches == 0)
+    val qTriples = SparkEntry.queries("q_triples")(spark, TestSpark.sf0001).count()
+    assert(r1.nTriples == qTriples)
+    // resume: second run over the same store reads committed snapshots
+    val r2 = Pipeline.run(spark, TestSpark.sf0001, base, partitions = 8)
+    assert(r2.nTriples == r1.nTriples && r2.nNodes == r1.nNodes)
+    // triple set byte-identical across the resume
+    val t1 = GraphStore.readLatest(spark, base, "triples").get
+    assert(t1.count() == r1.nTriples)
+  }
+
+  test("streaming: hourly agg over readStream equals batch result") {
+    // FileStreamSource needs a directory, not a single parquet file
+    val dir = Files.createTempDirectory("ev_")
+    Files.copy(Paths.get(Corpus64Util.eventsPath), dir.resolve("events.parquet"))
+    val events = dir.toString
+    val batch = StreamOps.hourlyAgg(spark.read.parquet(events))
+    val streamIn = spark.readStream
+      .schema(spark.read.parquet(events).schema)
+      .parquet(events)
+    val q = StreamOps.hourlyAgg(streamIn).writeStream
+      .format("memory").queryName("hourly_out").outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.table("hourly_out")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    q.stop()
+  }
+
+  test("multimodal: batch feature extraction is deterministic with real schema") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(docs)
+    assert(media.schema("media").dataType.typeName == "binary")
+    val f1 = Multimodal.extractFeatures(media).toDF()
+    val f2 = Multimodal.extractFeatures(media).toDF()
+    assert(f1.exceptAll(f2).isEmpty)
+    val row = f1.filter($"doc_id" === 0).head()
+    assert(row.getAs[scala.collection.Seq[Float]]("feature").length == 8)
+    assert(row.getAs[Int]("n_bytes") > 0)
+  }
+}
+
+object Corpus64Util {
+  val eventsPath = s"${TestSpark.sf0001}/events.parquet"
+}
