@@ -6,80 +6,127 @@ import org.apache.spark.sql.functions._
 /** GraphFrames-free connected components over an edge DataFrame
   * (north-rule stage 4: canonical-ID resolution for alias clusters).
   *
-  * Algorithm: hash-to-min label propagation with pointer-jumping
-  * (label-path doubling), the standard MapReduce CC formulation
-  * (Rastogi et al., "Finding Connected Components in Map-Reduce in
-  * Logarithmic Rounds"). Each round:
-  *   1. every vertex takes the min label among itself and its neighbors
-  *      — a `groupBy(v).agg(min)` which is partially aggregable, so
-  *      map-side combine absorbs hub-vertex skew before the shuffle
-  *      (the "salting for hub entities" concern: no reduce-side hot key
-  *      ever sees more than one pre-aggregated record per map partition);
-  *   2. two pointer-jump steps `label := label(label)` collapse label
-  *      chains, giving O(log n) total rounds even on path graphs;
-  *   3. `localCheckpoint` truncates the lineage so plan size stays O(1)
-  *      per iteration instead of growing with the loop.
+  * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", 2014):
+  *   large-star(v): ∀u ∈ Γ(v), u > v  emit (u, min(Γ(v) ∪ {v}))
+  *   small-star(v): ∀u ∈ Γ⁻(v) ∪ {v}, u ≠ m  emit (u, m),
+  *                  m = min(Γ⁻(v) ∪ {v}),  Γ⁻ = neighbors ≤ v
+  * Each pair of rounds at least halves path lengths (a monotone chain's
+  * edges become distance-2 edges under large-star), giving O(log² n)
+  * worst-case rounds and ~log n in practice, and the edge set shrinks
+  * monotonically toward one star per component. Two simpler variants
+  * were measured first and rejected: plain hash-min + pointer jumping
+  * (linear basin-merge tail, 35-50+ rounds on 62×322-node paths) and
+  * min-neighborhood contraction (removes one vertex per chain per
+  * round on monotone paths).
   *
-  * At cluster scale the edge table is the big side: it is materialized
-  * once, and every per-round join shuffles only the (much smaller)
-  * label table against it; AQE (enabled in the session) re-plans skewed
-  * join partitions at runtime.
+  * Scale posture:
+  *  - both star steps are one `groupBy(center).agg(min)` + a join back
+  *    to the adjacency — partial aggregation absorbs hub skew before
+  *    the shuffle (the "salting for hub entities" concern), and AQE
+  *    re-splits skewed join partitions at runtime;
+  *  - partition count follows edge count (an iterative algorithm must
+  *    not pay fixed wide-partition scheduling overhead per round; the
+  *    same rule yields thousands of partitions at 10^12 scale);
+  *  - every round materializes through `cp` below, so plan depth AND
+  *    cost statistics stay O(1) per round.
   *
   * The reference has no CC operator (it trusts the CURIE as canonical —
   * SURVEY.md §2.3 note); this is the north rule's required addition.
   */
 object ConnectedComponents {
 
+  /** Materialize + truncate BOTH lineage and statistics. A bare
+    * localCheckpoint keeps the origin plan's size estimate, so join-size
+    * stats of an iterative algorithm SQUARE every round — after ~20
+    * rounds Catalyst's canBroadcastBySize is multiplying million-bit
+    * BigIntegers and planning stalls. Rebuilding from the checkpointed
+    * RDD resets stats to the scan default. */
+  private def cp(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint(true)
+    c.sparkSession.createDataFrame(c.rdd, c.schema)
+  }
+
+  /** (count, hash) fingerprint for convergence detection. */
+  private def fingerprint(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  private def largeStar(adjIn: DataFrame): DataFrame = {
+    val adj = adjIn.select(col("src").as("v"), col("dst").as("u"))
+      .union(adjIn.select(col("dst").as("v"), col("src").as("u")))
+      .distinct()
+    val m = adj.groupBy("v").agg(min("u").as("mn"))
+      .select(col("v").as("mv"), least(col("v"), col("mn")).as("m"))
+    adj.join(m, col("v") === col("mv"))
+      .filter(col("u") > col("v"))
+      .select(col("u").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  private def smallStar(e: DataFrame): DataFrame = {
+    // Directed view with the larger endpoint as center: (v, u), u <= v.
+    val adjS = e.select(
+      greatest(col("src"), col("dst")).as("v"),
+      least(col("src"), col("dst")).as("u")).distinct()
+    val m = adjS.groupBy("v").agg(min("u").as("mn"))
+      .select(col("v").as("mv"), least(col("v"), col("mn")).as("m"))
+    val fromNbrs = adjS.join(m, col("v") === col("mv"))
+      .select(col("u").as("src"), col("m").as("dst"))
+    val fromSelf = m.select(col("mv").as("src"), col("m").as("dst"))
+    fromNbrs.union(fromSelf)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
   /** edges: two string columns `src`, `dst` (undirected semantics).
     * `vertices`: optional single-column `v` DataFrame of the full vertex
-    * universe — isolated vertices (no incident edge) become singleton
-    * components; without it only edge-touched vertices are returned.
-    * Returns (member, component) with component = min vertex id
-    * (lexicographic) of the member's connected component. */
+    * universe — isolated vertices become singleton components.
+    * Returns (member, component), component = min vertex id of the
+    * member's connected component (lexicographic on strings). */
   def run(spark: SparkSession, edges: DataFrame,
-          vertices: Option[DataFrame] = None, maxIter: Int = 50): DataFrame = {
-    // Undirected closure, deduped and materialized once.
-    val e = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+          vertices: Option[DataFrame] = None, maxIter: Int = 50,
+          verbose: Boolean = false): DataFrame = {
+    val e0 = cp(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    val nEdges = e0.count()
+    val nparts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism,
+      (nEdges / 200000L).toInt + 1))
 
-    var labels = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v")))
+    val allVerts = cp(e0.select(col("src").as("v"))
+      .union(e0.select(col("dst").as("v")))
       .union(vertices.map(_.select(col("v"))).getOrElse(
-        e.select(col("src").as("v")).limit(0)))
+        e0.select(col("src").as("v")).limit(0)))
       .distinct()
-      .withColumn("label", col("v"))
-      .localCheckpoint(true)
+      .repartition(nparts, col("v")))
 
-    var converged = false
+    var e = cp(e0.repartition(nparts, col("src")))
+    var fp = fingerprint(e)
     var iter = 0
+    var converged = e.isEmpty
     while (!converged && iter < maxIter) {
-      // (1) min over self ∪ neighbor labels — partial agg handles hubs.
-      val nbr = e.join(labels, e("dst") === labels("v"))
-        .select(e("src").as("v"), col("label").as("cand"))
-      var next = labels.select(col("v"), col("label").as("cand"))
-        .union(nbr)
-        .groupBy("v").agg(min("cand").as("label"))
-
-      // (2) pointer jumping ×2: label := label(label).
-      var j = 0
-      while (j < 2) {
-        val l2 = next.select(col("v").as("lv"), col("label").as("llabel"))
-        next = next.join(l2, next("label") === l2("lv"), "left")
-          .select(next("v"), coalesce(col("llabel"), next("label")).as("label"))
-        j += 1
-      }
-      val nextCp = next.localCheckpoint(true)
-
-      // (3) convergence probe: any vertex whose label still changed?
-      val changed = nextCp.alias("n")
-        .join(labels.alias("o"), col("n.v") === col("o.v"))
-        .filter(col("n.label") =!= col("o.label"))
-      converged = changed.isEmpty
-      labels = nextCp
+      e = cp(smallStar(largeStar(e)))
+      val fp2 = fingerprint(e)
+      converged = fp2 == fp
+      fp = fp2
       iter += 1
+      if (verbose) println(s"[cc] round $iter edges=${fp._1}")
     }
-    labels.select(col("v").as("member"), col("label").as("component"))
+    require(converged,
+      s"connected components did not converge in $maxIter rounds — result would be wrong")
+    if (verbose) println(s"[cc] converged after $iter rounds")
+
+    // Final edge set is a star forest: (member, root). Roots and
+    // isolated vertices map to themselves.
+    val mapped = e.groupBy(col("src").as("member"))
+      .agg(min(col("dst")).as("component"))
+    allVerts.alias("av")
+      .join(mapped.alias("mp"), col("av.v") === col("mp.member"), "left")
+      .select(col("av.v").as("member"),
+        coalesce(col("mp.component"), col("av.v")).as("component"))
   }
 }

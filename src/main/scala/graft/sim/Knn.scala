@@ -26,12 +26,17 @@ object Knn {
 
   /** Exact brute-force cosine top-k neighbors for the `queries` rows
     * against the full `corpus`. Both must have (id, emb) columns.
-    * Deterministic tie-break by neighbor id. */
+    * Deterministic tie-break by neighbor id.
+    * Norms are computed ONCE per vector before the pair join (3× fewer
+    * array folds than cosine-per-pair); the pair score is then a single
+    * dot product — the hot loop a 100 TB ANN sweep lives in. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("id").as("vec_id"), col("emb").as("qe"))
-    val c = corpus.select(col("id").as("neighbor_id"), col("emb").as("ce"))
+    val q = queries.select(col("id").as("vec_id"), col("emb").as("qe"),
+      norm(col("emb")).as("qn"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("emb").as("ce"),
+      norm(col("emb")).as("cn"))
     val scored = q.join(c, col("vec_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qe"), col("ce")))
+      .withColumn("sim", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -25,10 +25,13 @@ object DedupOps {
     docs.groupBy(xxhash64(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word-n-gram shingles per doc. */
+  /** Distinct word-n-gram shingles per doc. The token array is
+    * let-bound so it is computed once per row, not once per n-gram
+    * (TextOps.let — CollapseProject guard). */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("shs"))
+        TextOps.let(TextOps.tokens(col(textCol)),
+          toks => array_distinct(TextOps.shingles(toks, n))).as("shs"))
       .filter(size(col("shs")) > 0)
 
   /** Exact n-gram Jaccard pairs with similarity >= tau, via inverted
@@ -40,13 +43,21 @@ object DedupOps {
     val sets = shingleSets(docs, idCol, textCol, n)
     val sizes = sets.select(col("doc_id"), size(col("shs")).as("sz"))
     val inv = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
-    val capped = inv
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("df") <= maxDf).drop("df")
-    val pairs = capped.alias("a").join(capped.alias("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    // One shuffle builds the posting list per shingle; pairs are then
+    // emitted map-side from each posting (no self-join, no window sort).
+    // The df cap bounds the per-posting quadratic blowup (hot-shingle
+    // guard at scale — the cap drops only pathological stopword-grams).
+    val postings = inv.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
+    val pairExpr = flatten(transform(
+      sequence(lit(0), size(col("ds")) - 2),
+      i => transform(
+        slice(col("ds"), i + 2, size(col("ds")) - i - 1),
+        d2 => struct(element_at(col("ds"), i + 1).as("id1"), d2.as("id2")))))
+    val pairs = postings
+      .select(explode(pairExpr).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("common"))
     pairs
       .join(sizes.select(col("doc_id").as("id1"), col("sz").as("size1")), "id1")
@@ -62,17 +73,19 @@ object DedupOps {
   private def hashParams(k: Int): Seq[(Int, Long, Long)] =
     (0 until k).map(i => (i, 1103515245L * (i + 1) % P, 12345L + 2654435761L * i % P))
 
+  /** Shuffle-FREE signature computation: the whole k-permutation min is
+    * a per-row array expression (shingle hashes once, then k mins over
+    * the hash array) — minhashing is embarrassingly parallel and must
+    * not shuffle at 100 TB. Output: (doc_id, sig array<long>[k]). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val params = broadcast(hashParams(k).toDF("i", "a", "b"))
+    val params = hashParams(k)
     shingleSets(docs, idCol, textCol, n)
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
-      .withColumn("x", pmod(xxhash64(col("sh")), lit(P)))
-      .crossJoin(params)
-      .groupBy("doc_id", "i")
-      .agg(min(pmod(col("a") * col("x") + col("b"), lit(P))).as("mh"))
+      .select(col("doc_id"),
+        TextOps.let(transform(col("shs"), sh => pmod(xxhash64(sh), lit(P))),
+          xs => array(params.map { case (_, a, b) =>
+            array_min(transform(xs, x => pmod(lit(a) * x + lit(b), lit(P))))
+          }: _*)).as("sig"))
   }
 
   /** LSH candidate pairs from banded signatures (bands of r rows), then
@@ -82,11 +95,12 @@ object DedupOps {
                           n: Int = 3, k: Int = 64, r: Int = 2,
                           tau: Double = 0.5): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, n, k)
-    val buckets = sig
-      .withColumn("band", floor(col("i") / r))
-      .groupBy("doc_id", "band")
-      .agg(xxhash64(concat_ws(",", sort_array(collect_list(
-        concat_ws(":", col("i"), col("mh")))))).as("bucket"))
+    val nBands = k / r
+    val buckets = sig.select(col("doc_id"),
+        posexplode(array((0 until nBands).map { b =>
+          xxhash64(concat_ws(",",
+            (0 until r).map(j => element_at(col("sig"), b * r + j + 1)): _*))
+        }: _*)).as(Seq("band", "bucket")))
     val cand = buckets.alias("a").join(buckets.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Let-binding for column expressions: evaluates `e` ONCE and passes
+    * it to `f` as a lambda variable. Catalyst's CollapseProject inlines
+    * projected expressions into every usage site — for an expression
+    * used k times inside array lambdas that means k full recomputations
+    * per row (observed: shingling re-tokenized the whole document per
+    * n-gram). Lambda variables are opaque to that rule, so
+    * transform-over-singleton is an optimizer barrier with zero shuffle
+    * cost. */
+  def let(e: Column, f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text))
