@@ -35,7 +35,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+    val pipelineOnly = sys.env.get("SPARK_GRAFT_PIPELINE_ONLY").contains("1")
+    val results = (if (pipelineOnly) Seq.empty[String]
+                   else headline.filter(SparkEntry.queries.contains)).map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => -1L }
@@ -43,18 +45,23 @@ object Bench {
     }
 
     // End-to-end pipeline into a fresh snapshot store (cold run).
+    // SPARK_GRAFT_MULT amplifies the corpus deterministically for
+    // scaling-evidence runs (same input at both parallelism levels).
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "1").toInt
     val storeBase = Files.createTempDirectory("graft_store_").toString
-    val pipe = Pipeline.run(spark, sfDir, storeBase, partitions = cpus)
+    val pipe = Pipeline.run(spark, sfDir, storeBase, partitions = cpus, mult = mult)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + pipe.seconds
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","cpus":$cpus,"pipeline":{"n_pages":${pipe.nPages},""" +
+        s""""sf":"$sfDir","cpus":$cpus,"mult":$mult,""" +
+        s""""pipeline":{"n_pages":${pipe.nPages},""" +
         s""""n_triples":${pipe.nTriples},"n_nodes":${pipe.nNodes},""" +
         s""""audit_mismatches":${pipe.auditMismatches},""" +
-        s""""seconds":${pipe.seconds},"triples_per_sec":${pipe.triplesPerSec}}}""")
+        s""""seconds":${pipe.seconds},"triples_per_sec":${pipe.triplesPerSec},""" +
+        s""""pages_per_sec":${pipe.pagesPerSec}}}""")
     spark.stop()
   }
 }

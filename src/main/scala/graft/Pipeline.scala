@@ -26,15 +26,35 @@ object Pipeline {
 
   final case class Result(
       nPages: Long, nTriples: Long, nNodes: Long,
-      auditMismatches: Long, seconds: Double, triplesPerSec: Double)
+      auditMismatches: Long, seconds: Double, triplesPerSec: Double,
+      pagesPerSec: Double)
+
+  /** Deterministic corpus amplification for scaling runs: `mult`
+    * replicas per page with distinct urls (identical text — the triple
+    * set stays the base set after distinct, but every per-page stage
+    * does mult× the work, which is what a 10^12-document corpus looks
+    * like relative to its dictionary). */
+  private def amplify(pages: org.apache.spark.sql.DataFrame, mult: Int) =
+    if (mult <= 1) pages
+    else pages
+      .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+      .select(
+        concat(col("url"), lit("#"), col("rep")).as("url"),
+        col("warc_ts"), col("html"), col("text"), col("lang"))
 
   def run(spark: SparkSession, sfDir: String, storeBase: String,
-          partitions: Int): Result = {
+          partitions: Int, mult: Int = 1): Result = {
     val t0 = System.nanoTime()
+    var tLast = t0
+    def mark(stage: String): Unit = {
+      val now = System.nanoTime()
+      println(f"[pipeline] $stage ${(now - tLast) / 1e9}%.1fs")
+      tLast = now
+    }
 
     // Stage 1: extract (+ per-row audit vs the reference text column).
     val extracted = GraphStore.getOrCompute(spark, storeBase, "extracted") {
-      Corpus.pages(spark, sfDir)
+      amplify(Corpus.pages(spark, sfDir), mult)
         .repartition(partitions, xxhash64(col("url")))
         .select(
           col("url"), col("warc_ts"), col("lang"),
@@ -42,8 +62,10 @@ object Pipeline {
           xxhash64(col("text")).as("ref_hash"))
         .withColumn("text_hash", xxhash64(col("text")))
     }
+    mark("extract")
     val audit = extracted
       .filter(col("text_hash") =!= col("ref_hash")).count()
+    mark("audit")
     require(audit == 0, s"byte-identity audit failed on $audit pages")
 
     // Stage 2: mentions (broadcast dictionary; fact side never shuffles).
@@ -52,19 +74,23 @@ object Pipeline {
     }
 
     // Stage 3/4: CC-derived canonicalization table (small, broadcast).
+    mark("mentions")
     val canon = GraphStore.getOrCompute(spark, storeBase, "canonical_ids") {
       Corpus.canonicalIds(spark, sfDir)
     }
 
+    mark("canon_cc")
     val triples = GraphStore.getOrCompute(spark, storeBase, "triples") {
       Triples.extract(mentions, canon)
     }
+    mark("triples")
     val nodes = GraphStore.getOrCompute(spark, storeBase, "nodes") {
       Triples.nodes(mentions, canon)
         .withColumn("bucket", pmod(xxhash64(col("id")), lit(32)))
     }
     // Edges: skip-bad-relationships at the sink (reference
     // biocypher_config skip_bad_relationships) = endpoints must exist.
+    mark("nodes")
     val edges = GraphStore.getOrCompute(spark, storeBase, "edges") {
       val ids = nodes.select(col("id"))
       triples
@@ -74,10 +100,11 @@ object Pipeline {
         .withColumn("bucket", pmod(xxhash64(col("subject_id")), lit(32)))
     }
 
+    mark("edges")
     val nTriples = edges.count()
     val nNodes = nodes.count()
     val nPages = extracted.count()
     val secs = (System.nanoTime() - t0) / 1e9
-    Result(nPages, nTriples, nNodes, audit, secs, nTriples / secs)
+    Result(nPages, nTriples, nNodes, audit, secs, nTriples / secs, nPages / secs)
   }
 }

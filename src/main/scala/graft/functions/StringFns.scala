@@ -67,6 +67,11 @@ object StringFns {
     concat(lit(prefix.toLowerCase(java.util.Locale.ROOT)), lit(":"), stripped)
   }
 
+  /** P6: pattern-based null-out (pubmed ids containing "unassigned" →
+    * null, ppi_adapter.py:307-313). */
+  def nullOutIfContains(c: Column, needle: String): Column =
+    when(c.contains(needle), lit(null)).otherwise(c)
+
   /** F4: Neo4j-CSV sanitization ('|' -> ',', "'" -> '^', trim) — only at
     * the CSV sink; parquet keeps raw (uniprot_adapter.py:460-468). */
   def sanitize(c: Column): Column =

@@ -65,6 +65,24 @@ object CoreQueries {
       val mentions = Linker.mentions(pages, Corpus.aliasDict(s, dir))
       Triples.extract(mentions, Corpus.canonicalIds(s, dir))
     }),
+    // §2.5 at pipeline level: canonical-pair dedup of co-mentioned
+    // products per page (the ppi reciprocal-dedup pattern applied to
+    // web co-occurrence).
+    "q_co_ordered" -> ((s, dir) => {
+      tune(s)
+      val pages = Corpus.pages(s, dir)
+        .select(col("url"), HtmlText.htmlText(col("html")).as("text"))
+      val mentions = Linker.mentions(pages, Corpus.aliasDict(s, dir))
+      val canon = Corpus.canonicalIds(s, dir)
+      val prod = graft.canon.Canonicalize.canonicalize(
+        mentions.filter(col("entity_label") === "product")
+          .select(col("url"), col("entity_id")), "entity_id", canon)
+        .select(col("url"), col("entity_id").as("pid")).distinct()
+      prod.alias("a").join(prod.alias("b"),
+          col("a.url") === col("b.url") && col("a.pid") < col("b.pid"))
+        .select(col("a.pid").as("k1"), col("b.pid").as("k2"))
+        .distinct()
+    }),
     // Node emission (id, label, name) — map props checked rows-only
     // elsewhere; here the flat projection is oracle-checked.
     "q_nodes" -> ((s, dir) => {
@@ -139,6 +157,16 @@ object CoreQueries {
         |UNION
         |SELECT DISTINCT 'CUST:' || c.c_custkey, 'located_in', 'NATION:' || c.c_nationkey
         |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q_co_ordered" ->
+      """WITH pc AS (
+        |  SELECT p_partkey,
+        |         'PART:' || replace(min('PARTRAW:' || p_partkey) OVER (PARTITION BY p_name), 'PARTRAW:', '') AS pid
+        |  FROM part),
+        |op AS (
+        |  SELECT DISTINCT l.l_orderkey, pc.pid
+        |  FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey)
+        |SELECT DISTINCT a.pid k1, b.pid k2
+        |FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.pid < b.pid""".stripMargin,
     "q_nodes" ->
       """WITH pc AS (
         |  SELECT p_name, 'PART:' || replace(min('PARTRAW:' || p_partkey), 'PARTRAW:', '') AS pid,

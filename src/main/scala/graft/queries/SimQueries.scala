@@ -32,6 +32,15 @@ object SimQueries {
       tune(s)
       // integer outputs only (sim column would be float-eps fragile)
       Knn.cosineNearDupPairs(emb(s, dir), tau = 0.30).select("id1", "id2")
+    }),
+    // S4: embedding scan with validity filter (reference: keep iff
+    // count_nonzero(~isnan)==dim, uniprot_adapter.py:384-422).
+    "q_embedding_valid" -> ((s, dir) => {
+      tune(s)
+      Corpus.table(s, dir, "embeddings")
+        .filter(size(col("embedding")) === 64 &&
+          !exists(col("embedding"), x => isnan(x)))
+        .select("vec_id", "label")
     })
   )
 
@@ -49,6 +58,10 @@ object SimQueries {
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings)
         |SELECT a.vec_id id1, b.vec_id id2
         |FROM c a JOIN c b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.e, b.e) >= 0.30""".stripMargin
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.30""".stripMargin,
+    "q_embedding_valid" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE len(embedding) = 64
+        |  AND len(list_filter(embedding, x -> isnan(x))) = 0""".stripMargin
   )
 }

@@ -1,0 +1,83 @@
+package graft.schema
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The declared KG output schema — the analogue of the reference's
+  * `config/schema_config.yaml` (811 lines: 14 node types, ~40 edge types
+  * with source/target constraints, CURIE prefixes, property types —
+  * SURVEY.md §1.3) expressed as code, plus the conformance check the
+  * BioCypher sink performed at write time
+  * (biocypher_config.yaml:12-13 skip_duplicate_nodes /
+  * skip_bad_relationships; north rule: "replays the reference's adapter
+  * unit tests — node/edge schema conformance, dedup, property typing").
+  */
+object KgSchema {
+
+  sealed trait PropType
+  case object PStr extends PropType
+  case object PInt extends PropType
+  case object PFloat extends PropType
+  case object PBool extends PropType
+  case object PStrArr extends PropType
+  case object PFloatArr extends PropType
+
+  final case class NodeType(
+      label: String,
+      idPrefix: String,              // CURIE prefix constraint
+      props: Map[String, PropType])
+
+  final case class EdgeType(
+      label: String,
+      sourceLabel: String,
+      targetLabel: String,
+      props: Map[String, PropType])
+
+  /** The engine's node types (corpus domain mirrors the reference's
+    * typed-node discipline: every id carries its type prefix). */
+  val nodeTypes: Map[String, NodeType] = Map(
+    "customer" -> NodeType("customer", "CUST:", Map("name" -> PStr)),
+    "product" -> NodeType("product", "PART:", Map("name" -> PStr)),
+    "nation" -> NodeType("nation", "NATION:", Map("name" -> PStr)))
+
+  /** Edge types with endpoint-label constraints
+    * (schema_config.yaml:208-231 pattern). */
+  val edgeTypes: Map[String, EdgeType] = Map(
+    "ordered" -> EdgeType("ordered", "customer", "product",
+      Map("source" -> PStr)),
+    "located_in" -> EdgeType("located_in", "customer", "nation",
+      Map("source" -> PStr)),
+    "co_ordered_with" -> EdgeType("co_ordered_with", "product", "product",
+      Map("source" -> PStr)))
+
+  /** Conformance: every node row must carry a declared label and an id
+    * with that label's prefix. Returns the violating rows (empty =
+    * conformant). */
+  def nodeViolations(nodes: DataFrame): DataFrame = {
+    val prefixOk = nodeTypes.values.map(nt =>
+      col("label") === nt.label && col("id").startsWith(nt.idPrefix))
+      .reduce(_ || _)
+    nodes.filter(!prefixOk)
+  }
+
+  /** Conformance: every edge must have a declared relation label and
+    * endpoint ids whose prefixes match the declared source/target node
+    * types. Returns violations (empty = conformant). */
+  def edgeViolations(edges: DataFrame): DataFrame = {
+    val ok = edgeTypes.values.map { et =>
+      col("relation_label") === et.label &&
+        col("subject_id").startsWith(nodeTypes(et.sourceLabel).idPrefix) &&
+        col("object_id").startsWith(nodeTypes(et.targetLabel).idPrefix)
+    }.reduce(_ || _)
+    edges.filter(!ok)
+  }
+
+  /** The bad-relationship skip (edges whose endpoints are not in the
+    * node table) — reference biocypher skip_bad_relationships. */
+  def dropBadRelationships(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val ids = nodes.select(col("id"))
+    edges
+      .join(ids.withColumnRenamed("id", "subject_id"), Seq("subject_id"), "left_semi")
+      .join(ids.withColumnRenamed("id", "object_id"), Seq("object_id"), "left_semi")
+  }
+}

@@ -7,11 +7,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** Runs BOTH the single-task union-find path (default threshold) and
+    * the distributed star-contraction path (threshold 0) and asserts
+    * they agree — every graph shape tests both implementations. */
   private def cc(edges: Seq[(String, String)], verts: Seq[String] = Nil) = {
     val e = edges.toDF("src", "dst")
     val v = if (verts.isEmpty) None else Some(verts.toDF("v"))
-    ConnectedComponents.run(spark, e, v)
+    val local = ConnectedComponents.run(spark, e, v)
       .as[(String, String)].collect().toMap
+    val dist = ConnectedComponents.run(spark, e, v, localThreshold = 0L)
+      .as[(String, String)].collect().toMap
+    assert(local == dist, "local union-find and star contraction disagree")
+    local
   }
 
   test("two separate components") {

@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Plan audit: dumps .explain("formatted") for key queries so pushdown /
+  * broadcast / codegen spans can be reviewed (and cited in BENCH docs).
+  * Usage: Test/runMain graft.DumpPlans <outFile> [sfDir]
+  */
+object DumpPlans {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/plans.txt")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = Seq("q_mentions", "q_merge_edges", "q_semi_join",
+      "q_doc_stats", "q_knn_cosine", "q_pair_dedup", "q_dedup_exact")
+    val sb = new StringBuilder
+    names.foreach { n =>
+      sb.append(s"===== $n =====\n")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      sb.append("\n")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"PLANS written to $out")
+    spark.stop()
+  }
+}
