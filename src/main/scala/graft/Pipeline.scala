@@ -46,10 +46,15 @@ object Pipeline {
           partitions: Int, mult: Int = 1): Result = {
     val t0 = System.nanoTime()
     var tLast = t0
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    var cpuLast = osBean.getProcessCpuTime
     def mark(stage: String): Unit = {
       val now = System.nanoTime()
-      println(f"[pipeline] $stage ${(now - tLast) / 1e9}%.1fs")
+      val cpuNow = osBean.getProcessCpuTime
+      println(f"[pipeline] $stage wall=${(now - tLast) / 1e9}%.1fs cpu=${(cpuNow - cpuLast) / 1e9}%.1fs")
       tLast = now
+      cpuLast = cpuNow
     }
 
     // Stage 1: extract (+ per-row audit vs the reference text column).

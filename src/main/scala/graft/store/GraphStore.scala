@@ -64,6 +64,9 @@ object GraphStore {
       .map(f => col(f.name))
     val rowHash = if (hashable.nonEmpty) xxhash64(hashable: _*) else lit(0L)
     val elapsedMs = (System.nanoTime() - t0) / 1000000
+    // ONE read-back pass: the lineage aggregation also yields the total
+    // row count for the manifest (stage commits were IO-bound with a
+    // separate count() pass — measured as the pipeline's Amdahl floor).
     val lineage = written
       .groupBy(spark_partition_id().as("partition_id"))
       .agg(bit_xor(rowHash).as("input_hash"), count(lit(1)).as("row_counts"))
@@ -71,11 +74,13 @@ object GraphStore {
       .withColumn("snapshot", lit(next))
       .withColumn("stage_ms", lit(elapsedMs))
       .select("stage", "snapshot", "partition_id", "input_hash", "row_counts", "stage_ms")
+      .localCheckpoint(true)
+    val totalRows = lineage.agg(sum(col("row_counts"))).head().getLong(0)
     lineage.coalesce(1).write.mode("overwrite").parquet(dir.resolve("lineage").toString)
 
     // Atomic commit: manifest written to a temp name, then renamed.
     val manifest =
-      s"""{"stage":"$stage","snapshot":$next,"rows":${written.count()},""" +
+      s"""{"stage":"$stage","snapshot":$next,"rows":$totalRows,""" +
         s""""committed_ms":$elapsedMs}"""
     val tmp = dir.resolve(".manifest.tmp")
     Files.writeString(tmp, manifest)
