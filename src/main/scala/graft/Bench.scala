@@ -36,12 +36,26 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val pipelineOnly = sys.env.get("SPARK_GRAFT_PIPELINE_ONLY").contains("1")
+    // Median of N timed runs per query inside ONE warmed JVM (host
+    // throughput fluctuates 1.5-3× between runs; the median inside one
+    // process is the stable number). A query failure is NEVER swallowed:
+    // it is printed and reported as a negative sentinel in the JSON.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = (if (pipelineOnly) Seq.empty[String]
                    else headline.filter(SparkEntry.queries.contains)).map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times =
+        try (0 until reps).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] FAILED $name: $e")
+            e.printStackTrace()
+            Seq(-1.0)
+        }
+      name -> times(times.size / 2)
     }
 
     // End-to-end pipeline into a fresh snapshot store (cold run).

@@ -37,6 +37,11 @@ object Hierarchy {
         depth += 1
       }
     }
+    // Fail loudly on non-convergence (cycle or depth > maxDepth) instead
+    // of silently returning a partial closure — mirrors CC.run's guard.
+    require(done,
+      s"hierarchy closure did not converge within maxDepth=$maxDepth " +
+        "(cycle in the ontology DAG, or raise maxDepth)")
     acc
   }
 }

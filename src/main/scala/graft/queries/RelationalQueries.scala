@@ -302,7 +302,7 @@ object RelationalQueries {
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS "hour",
         |       event_type, count(*) n,
-        |       sum(CAST(value AS DECIMAL(18,6))) sum_value,
+        |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) sum_value_micros,
         |       min(user_id) min_user
         |FROM events GROUP BY 1,2""".stripMargin
   )

@@ -33,11 +33,13 @@ object GraphStore {
   def latestSnapshot(base: String, stage: String): Long = {
     val d = stageDir(base, stage)
     if (!Files.isDirectory(d)) return -1L
-    Files.list(d).iterator().asScala
+    val s = Files.list(d)
+    try s.iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("snapshot="))
       .filter(p => Files.exists(p.resolve("manifest.json")))
       .map(_.getFileName.toString.stripPrefix("snapshot=").toLong)
       .foldLeft(-1L)(math.max)
+    finally s.close()
   }
 
   /** Write `df` as the next snapshot of `stage`. The lineage table gets

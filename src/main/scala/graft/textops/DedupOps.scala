@@ -36,10 +36,17 @@ object DedupOps {
 
   /** Exact n-gram Jaccard pairs with similarity >= tau, via inverted
     * index. `maxDf` drops shingles present in more than maxDf docs
-    * (stopword-gram guard at scale). Output: (id1, id2, common, size1,
-    * size2) — integers only; id1 < id2. */
+    * (stopword-gram guard at scale): a posting of d docs emits d·(d-1)/2
+    * pairs, so the default 500 caps any one shingle at ~125k pairs —
+    * a cap of 10^6 would let one hot shingle emit 5·10^11 pairs.
+    * Dropped hot shingles are counted and logged (never silent).
+    * Output: (id1, id2, common, size1, size2) — integers only; id1 < id2.
+    *
+    * Correctness note: dropping a shingle with df > maxDf only loses
+    * pairs whose ONLY evidence is near-stopword grams; tau-similar pairs
+    * share many shingles and survive (property-tested on the fixture). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, tau: Double, maxDf: Long = 1000000L): DataFrame = {
+                        n: Int, tau: Double, maxDf: Long = 500L): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, n)
     val sizes = sets.select(col("doc_id"), size(col("shs")).as("sz"))
     val inv = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
@@ -47,9 +54,16 @@ object DedupOps {
     // emitted map-side from each posting (no self-join, no window sort).
     // The df cap bounds the per-posting quadratic blowup (hot-shingle
     // guard at scale — the cap drops only pathological stopword-grams).
-    val postings = inv.groupBy("sh")
+    // Persisted so the drop-count action and the pair emission share one
+    // inverted-index shuffle instead of recomputing it.
+    val allPostings = inv.groupBy("sh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
+      .filter(size(col("ds")) >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDropped = allPostings.filter(size(col("ds")) > maxDf).count()
+    if (nDropped > 0)
+      println(s"[ngramJaccardPairs] dropped $nDropped hot shingles with df > $maxDf")
+    val postings = allPostings.filter(size(col("ds")) <= maxDf)
     val pairExpr = flatten(transform(
       sequence(lit(0), size(col("ds")) - 2),
       i => transform(
