@@ -106,6 +106,69 @@ object Corpus {
     p.unionByName(c).unionByName(n)
   }
 
+  /** Dictionary with 3/4-token aliases layered onto [[aliasDict]]
+    * (VERDICT r1 #1: real alias universes are arbitrary token length —
+    * uniprot_adapter.py:885-961, drug_adapter.py:2066-2096). Both new
+    * alias families appear verbatim in the page text:
+    *   "<c_name> from <n_name>"            (3 tokens)  → CUSTLOC:<custkey>
+    *   "with priority <o_orderpriority>"   (3-4 tokens) → PRIO:<...>
+    */
+  def multiTokenDict(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = table(spark, sfDir, "customer")
+    val n = table(spark, sfDir, "nation")
+    val custloc = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(
+        concat(col("c_name"), lit(" from "), col("n_name")).as("alias"),
+        concat(lit("CUSTLOC:"), col("c_custkey")).as("entity_id"),
+        lit("cust_loc").as("entity_label"),
+        lit(0).as("priority"))
+    val prio = table(spark, sfDir, "orders")
+      .select(col("o_orderpriority")).distinct()
+      .select(
+        concat(lit("with priority "), col("o_orderpriority")).as("alias"),
+        concat(lit("PRIO:"), regexp_replace(col("o_orderpriority"), " ", "_"))
+          .as("entity_id"),
+        lit("priority").as("entity_label"),
+        lit(0).as("priority"))
+    aliasDict(spark, sfDir).unionByName(custloc).unionByName(prio)
+  }
+
+  /** Context-rich review page per lineitem of every 10th order: the
+    * TF-IDF disambiguation corpus. Each review names its part (the
+    * ambiguous 2-token alias — ~31 parts share each p_name) AND carries
+    * the part's brand/type/size context that the re-ranker uses to pick
+    * the right one. */
+  def reviews(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem").filter(pmod(col("l_orderkey"), lit(10)) === 0)
+    val part = table(spark, sfDir, "part")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .select(
+        concat(lit("https://rev.ex.org/"), col("l_orderkey"), lit("-"),
+          col("l_linenumber"), lit("-"), col("p_partkey")).as("url"),
+        concat(lit("Review of "), col("p_name"), lit(" by "), col("p_brand"),
+          lit(" type "), col("p_type"), lit(" size "), col("p_size"),
+          lit(" rating good")).as("text"))
+      .distinct()
+  }
+
+  /** Ambiguous candidate dictionary over review pages: the full p_name
+    * (shared by ~31 parts) maps to EVERY partkey bearing it — resolution
+    * is the re-ranker's job, not a drop. */
+  def reviewDict(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "part").select(
+      col("p_name").as("alias"),
+      concat(lit("PARTRAW:"), col("p_partkey")).as("entity_id"),
+      lit("product").as("entity_label"))
+
+  /** Entity context profiles for the TF-IDF re-rank: one document per
+    * part (name + brand + type + size), mirroring the reference's
+    * per-entity property text (uniprot_adapter.py:696-838). */
+  def partProfiles(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "part").select(
+      concat(lit("PARTRAW:"), col("p_partkey")).as("entity_id"),
+      concat(col("p_name"), lit(" "), col("p_brand"), lit(" "), col("p_type"),
+        lit(" size "), col("p_size")).as("ptext"))
+
   /** Same-name chain edges over parts: consecutive partkeys within each
     * p_name group, i.e. a path graph per name (NOT a clique) — the
     * connected-components stage must actually propagate labels along

@@ -1,20 +1,28 @@
 package graft.link
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mention detection + dictionary/alias entity linking (north-rule
-  * stage 2). Spark-first formulation: the page side stays a narrow
-  * columnar scan; candidate n-grams are generated with codegen'd array
-  * expressions (no UDF), and linking is a hash join against a broadcast,
-  * rank-resolved dictionary — the distributed analogue of the
-  * reference's per-record dict probes (SURVEY.md J5,
-  * ppi_adapter.py:478-509).
+  * stage 2). Two matchers share one contract:
+  *
+  *  - [[mentionsTrie]] — the product path: a broadcast token trie
+  *    scanned in mapPartitions, arbitrary alias token length, no row
+  *    explosion (the reference's alias universe is arbitrary-length:
+  *    protein names uniprot_adapter.py:885-961, drug names
+  *    drug_adapter.py:2066-2096).
+  *  - [[mentionsJoin]] — the declarative uni+bigram variant (codegen'd
+  *    explode + broadcast hash join), kept as the Catalyst-only
+  *    cross-check; equivalence on ≤2-token dictionaries is spec-tested.
+  *
+  * Ambiguous aliases are either dropped at dictionary resolution
+  * ([[resolveDict]], the reference's multi-mapping drop) or broken by
+  * TF-IDF cosine re-ranking against entity context profiles
+  * ([[rerank]]) instead of being thrown away.
   *
   * At 100 TB the pages table is the only big side; the dictionary is a
-  * dimension and never shuffles the fact table. The explode multiplies
-  * rows ~2×tokens but stays within one whole-stage-codegen span until
-  * the broadcast join, which is also codegen'd.
+  * dimension and never shuffles the fact table.
   */
 object Linker {
 
@@ -23,6 +31,28 @@ object Linker {
     * surface forms). */
   def tokens(text: Column): Column =
     split(trim(regexp_replace(text, "[.,:;]", "")), " +")
+
+  /** Plain-Scala mirror of [[tokens]] for the mapPartitions hot loop:
+    * one pass, no regex, no intermediate strings beyond the tokens
+    * themselves. Equality with the Column form is spec-asserted on the
+    * full corpus (byte-identical token arrays). */
+  def tokenize(text: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '.' || c == ',' || c == ':' || c == ';') ()
+      else if (c == ' ') {
+        if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      } else sb.append(c)
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    // split(trim(""), " +") yields [""] — mirror that exactly.
+    if (out.isEmpty) Array("") else out.toArray
+  }
 
   /** Resolve the alias dictionary to one entity per alias:
     * minimum priority wins; an alias with >1 distinct entity at its
@@ -41,11 +71,44 @@ object Linker {
       .select(col("alias"), col("entity_id"), col("entity_label"))
   }
 
-  /** Detect unigram + bigram dictionary mentions in `text`.
-    * Input: DataFrame with (url, text); dict: (alias, entity_id,
-    * entity_label, priority). Output: (url, pos, alias, entity_id,
-    * entity_label), one row per occurrence. */
-  def mentions(pagesText: DataFrame, dict: DataFrame): DataFrame = {
+  /** Broadcast-trie mention matcher: every occurrence of every
+    * dictionary alias (any token length, overlaps included) in `text`.
+    * Input: (url, text); dict: (alias, entity_id, entity_label) —
+    * multiple rows per alias allowed (candidates for [[rerank]]).
+    * Output: (url, pos, alias, entity_id, entity_label).
+    *
+    * The dictionary is collected to the driver to build the trie — it
+    * is a dimension table, the same size class a broadcast join ships
+    * to every executor; the fact (pages) side streams through
+    * mapPartitions with zero shuffle and zero row explosion. */
+  def mentionsTrie(pagesText: DataFrame, dict: DataFrame): DataFrame = {
+    val spark = pagesText.sparkSession
+    import spark.implicits._
+    val entries = dict.select("alias", "entity_id", "entity_label")
+      .distinct()
+      .as[(String, String, String)].collect()
+    val trie = TokenTrie.build(entries.iterator.map { case (a, id, lbl) =>
+      (tokenize(a), DictEntry(a, id, lbl))
+    })
+    val bc = spark.sparkContext.broadcast(trie)
+    pagesText.select(col("url"), col("text")).as[(String, String)]
+      .mapPartitions { rows =>
+        val t = bc.value
+        rows.flatMap { case (url, text) => t.matchTokens(url, tokenize(text)) }
+      }
+      .toDF()
+  }
+
+  /** Detect dictionary mentions in `text` with priority-resolved,
+    * ambiguity-dropped aliases (the default stage-2 path). */
+  def mentions(pagesText: DataFrame, dict: DataFrame): DataFrame =
+    mentionsTrie(pagesText, resolveDict(dict))
+
+  /** Declarative uni+bigram matcher: candidate n-grams via codegen'd
+    * array expressions, linking via broadcast hash join. Limited to
+    * ≤2-token aliases by construction — kept as the Catalyst-only
+    * cross-check for [[mentionsTrie]] (SURVEY.md J5). */
+  def mentionsJoin(pagesText: DataFrame, dict: DataFrame): DataFrame = {
     val d = broadcast(resolveDict(dict))
     val toks = pagesText
       .select(col("url"), tokens(col("text")).as("toks"))
@@ -68,5 +131,70 @@ object Linker {
       .select(
         col("url"), col("pos"), col("alias"),
         col("entity_id"), col("entity_label"))
+  }
+
+  /** TF-IDF cosine re-rank: break ambiguous aliases by scoring each
+    * candidate entity's context profile against the page's content
+    * instead of dropping the mention (north-rule stage 2 "TF-IDF cosine
+    * re-rank").
+    *
+    * cands:     (url, alias, entity_id) — >1 entity_id per (url, alias)
+    * pagesText: (url, text) — the idf corpus AND the per-page context
+    * profiles:  (entity_id, ptext) — entity context documents
+    *
+    * Cross-engine determinism: tf and df are exact integers; the idf
+    * weight is integer division w = scale div (df+1) (rare terms weigh
+    * more; no transcendentals, so the DuckDB oracle reproduces it
+    * bit-for-bit); norms and dot products are exact integer sums
+    * (< 2^53), and the ONLY floating-point ops are one multiply, one
+    * sqrt and one division at the very end — identical IEEE results in
+    * any engine, independent of partitioning and summation order.
+    *
+    * Scale: the token vocabulary (df/w) and the profile side are
+    * dimensions (broadcast); the page-token aggregations are one
+    * shuffle each over the exploded fact side; candidate scoring
+    * shuffles only candidate rows. */
+  def rerank(cands: DataFrame, pagesText: DataFrame, profiles: DataFrame,
+             scale: Long = 1000000L): DataFrame = {
+    val toks = pagesText.select(col("url"), explode(tokens(col("text"))).as("tok"))
+    val dfTok = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = broadcast(dfTok.select(col("tok"), expr(s"$scale div (df + 1)").as("w")))
+
+    // Page side: tf and weighted norm per url (every page token has df>=1).
+    val tfw = toks.groupBy("url", "tok").agg(count(lit(1)).as("tfp"))
+      .join(w, "tok")
+    val pageNorm = tfw.groupBy("url")
+      .agg(sum(col("tfp") * col("tfp") * col("w") * col("w")).as("np"))
+
+    // Profile side (dimension): profile-only tokens get df=0 weight.
+    val ptw = profiles
+      .select(col("entity_id"), explode(tokens(col("ptext"))).as("tok"))
+      .groupBy("entity_id", "tok").agg(count(lit(1)).as("tfe"))
+      .join(w, Seq("tok"), "left")
+      .select(col("entity_id"), col("tok"), col("tfe"),
+        coalesce(col("w"), lit(scale)).as("we"))
+    val profNorm = ptw.groupBy("entity_id")
+      .agg(sum(col("tfe") * col("tfe") * col("we") * col("we")).as("ne"))
+
+    // Dot product over common tokens; w == we on join hits by
+    // construction (both are the corpus weight of the same token).
+    val num = cands
+      .join(ptw, "entity_id")
+      .join(tfw.select(col("url"), col("tok"), col("tfp")), Seq("url", "tok"))
+      .groupBy("url", "alias", "entity_id")
+      .agg(sum(col("tfp") * col("tfe") * col("we") * col("we")).as("num"))
+
+    val scored = cands
+      .join(num, Seq("url", "alias", "entity_id"), "left")
+      .join(pageNorm, "url")
+      .join(broadcast(profNorm), "entity_id")
+      .withColumn("cos",
+        coalesce(col("num"), lit(0L)).cast("double") /
+          sqrt(col("np").cast("double") * col("ne").cast("double")))
+    val win = Window.partitionBy("url", "alias")
+      .orderBy(col("cos").desc, col("entity_id").asc)
+    scored.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select("url", "alias", "entity_id")
   }
 }

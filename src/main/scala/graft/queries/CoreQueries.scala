@@ -83,6 +83,24 @@ object CoreQueries {
         .select(col("a.pid").as("k1"), col("b.pid").as("k2"))
         .distinct()
     }),
+    // Stage 2c: broadcast-trie matcher over the multi-token dictionary
+    // (3/4-token aliases — beyond the uni+bigram join matcher's reach).
+    "q_mentions_trie" -> ((s, dir) => {
+      tune(s)
+      val pages = Corpus.pages(s, dir)
+        .select(col("url"), HtmlText.htmlText(col("html")).as("text"))
+      Linker.mentions(pages, Corpus.multiTokenDict(s, dir))
+        .select("url", "alias", "entity_label").distinct()
+    }),
+    // Stage 2d: ambiguous-alias candidates (trie, no drop) broken by
+    // TF-IDF cosine re-rank against per-entity context profiles.
+    "q_mentions_ranked" -> ((s, dir) => {
+      tune(s)
+      val rv = Corpus.reviews(s, dir)
+      val cands = Linker.mentionsTrie(rv, Corpus.reviewDict(s, dir))
+        .select("url", "alias", "entity_id").distinct()
+      Linker.rerank(cands, rv, Corpus.partProfiles(s, dir))
+    }),
     // Node emission (id, label, name) — map props checked rows-only
     // elsewhere; here the flat projection is oracle-checked.
     "q_nodes" -> ((s, dir) => {
@@ -129,7 +147,78 @@ object CoreQueries {
       |FROM pages pg JOIN lineitem l ON l.l_orderkey = pg.o_orderkey
       |JOIN part p ON p.p_partkey = l.l_partkey""".stripMargin
 
+  private val mentionsTrieSql =
+    mentionsSql +
+      """
+        |UNION
+        |SELECT DISTINCT 'https://ex.org/' || o.o_orderkey,
+        |       c.c_name || ' from ' || n.n_name, 'cust_loc'
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |UNION
+        |SELECT DISTINCT 'https://ex.org/' || o.o_orderkey,
+        |       'with priority ' || o.o_orderpriority, 'priority'
+        |FROM orders o""".stripMargin
+
+  /** Full TF-IDF re-rank rebuilt relationally: integer tf/df/weights,
+    * one final double sqrt+division (IEEE-identical across engines). */
+  private val mentionsRankedSql =
+    """WITH rv AS (
+      |  SELECT DISTINCT
+      |    'https://rev.ex.org/' || l.l_orderkey || '-' || l.l_linenumber
+      |      || '-' || p.p_partkey AS url,
+      |    'Review of ' || p.p_name || ' by ' || p.p_brand || ' type '
+      |      || p.p_type || ' size ' || p.p_size || ' rating good' AS text,
+      |    p.p_name AS alias
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |  WHERE l.l_orderkey % 10 = 0),
+      |toks AS (SELECT url, unnest(string_split(text, ' ')) tok FROM rv),
+      |dfv AS (SELECT tok, count(DISTINCT url) df FROM toks GROUP BY 1),
+      |w AS (SELECT tok, 1000000 // (df + 1) w FROM dfv),
+      |tfw AS (
+      |  SELECT t.url, t.tok, t.tfp, w.w FROM
+      |    (SELECT url, tok, count(*) tfp FROM toks GROUP BY 1,2) t
+      |  JOIN w USING (tok)),
+      |np AS (SELECT url, sum(tfp*tfp*w*w) np FROM tfw GROUP BY 1),
+      |prof AS (
+      |  SELECT 'PARTRAW:' || p_partkey entity_id, p_name,
+      |         p_name || ' ' || p_brand || ' ' || p_type || ' size ' || p_size ptext
+      |  FROM part),
+      |ptw AS (
+      |  SELECT p.entity_id, p.tok, p.tfe, coalesce(w.w, 1000000) we FROM
+      |    (SELECT entity_id, tok, count(*) tfe FROM
+      |       (SELECT entity_id, unnest(string_split(ptext, ' ')) tok FROM prof)
+      |     GROUP BY 1,2) p
+      |  LEFT JOIN w ON w.tok = p.tok),
+      |ne AS (SELECT entity_id, sum(tfe*tfe*we*we) ne FROM ptw GROUP BY 1),
+      |cands AS (
+      |  SELECT DISTINCT rv.url, rv.alias, pr.entity_id
+      |  FROM rv JOIN prof pr ON pr.p_name = rv.alias),
+      |num AS (
+      |  SELECT c.url, c.alias, c.entity_id, sum(t.tfp * p.tfe * p.we * p.we) num
+      |  FROM cands c
+      |  JOIN ptw p ON p.entity_id = c.entity_id
+      |  JOIN tfw t ON t.url = c.url AND t.tok = p.tok
+      |  GROUP BY 1,2,3),
+      |scored AS (
+      |  SELECT c.url, c.alias, c.entity_id,
+      |    CAST(coalesce(n.num, 0) AS DOUBLE)
+      |      / sqrt(CAST(np.np AS DOUBLE) * CAST(ne.ne AS DOUBLE)) cos
+      |  FROM cands c
+      |  LEFT JOIN num n ON n.url = c.url AND n.alias = c.alias
+      |    AND n.entity_id = c.entity_id
+      |  JOIN np ON np.url = c.url
+      |  JOIN ne ON ne.entity_id = c.entity_id)
+      |SELECT url, alias, entity_id FROM (
+      |  SELECT url, alias, entity_id,
+      |         row_number() OVER (PARTITION BY url, alias
+      |           ORDER BY cos DESC, entity_id) rn
+      |  FROM scored)
+      |WHERE rn = 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_mentions_trie" -> mentionsTrieSql,
+    "q_mentions_ranked" -> mentionsRankedSql,
     "q_pages_text" -> (pageTextSql.replace("AS text", "AS text, 'en' AS lang")),
     "q_extract_text" -> pageTextSql,
     "q_link_dict" ->
