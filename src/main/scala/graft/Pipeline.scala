@@ -57,8 +57,20 @@ object Pipeline {
       cpuLast = cpuNow
     }
 
+    // Per-stage input fingerprints: a changed corpus or parameterization
+    // invalidates downstream committed snapshots on resume (the manifest
+    // records the fp; GraphStore recomputes on mismatch).
+    val fpCorpus = s"corpus;sfDir=$sfDir;mult=$mult"
+    val fpExtract = s"extract-v2;$fpCorpus"
+    val fpMentions = s"mentions-trie-v2;$fpExtract;dict=aliasDict"
+    val fpCanon = s"canon-cc-v1;sfDir=$sfDir"
+    val fpTriples = s"triples-v1;$fpMentions;$fpCanon"
+    val fpNodes = s"nodes-typed-v2;$fpMentions;$fpCanon;attrs=nodeAttrs"
+    val fpEdges = s"edges-fused-v2;$fpMentions;$fpCanon;src=web+ledger"
+
     // Stage 1: extract (+ per-row audit vs the reference text column).
-    val extracted = GraphStore.getOrCompute(spark, storeBase, "extracted") {
+    val extracted = GraphStore.getOrCompute(spark, storeBase, "extracted",
+        inputFp = fpExtract) {
       amplify(Corpus.pages(spark, sfDir), mult)
         .repartition(partitions, xxhash64(col("url")))
         .select(
@@ -73,35 +85,58 @@ object Pipeline {
     mark("audit")
     require(audit == 0, s"byte-identity audit failed on $audit pages")
 
-    // Stage 2: mentions (broadcast dictionary; fact side never shuffles).
-    val mentions = GraphStore.getOrCompute(spark, storeBase, "mentions") {
+    // Stage 2: mentions (broadcast trie; fact side never shuffles).
+    val mentions = GraphStore.getOrCompute(spark, storeBase, "mentions",
+        inputFp = fpMentions) {
       Linker.mentions(extracted.select("url", "text"), Corpus.aliasDict(spark, sfDir))
     }
 
     // Stage 3/4: CC-derived canonicalization table (small, broadcast).
     mark("mentions")
-    val canon = GraphStore.getOrCompute(spark, storeBase, "canonical_ids") {
+    val canon = GraphStore.getOrCompute(spark, storeBase, "canonical_ids",
+        inputFp = fpCanon) {
       Corpus.canonicalIds(spark, sfDir)
     }
 
     mark("canon_cc")
-    val triples = GraphStore.getOrCompute(spark, storeBase, "triples") {
+    val triples = GraphStore.getOrCompute(spark, storeBase, "triples",
+        inputFp = fpTriples) {
       Triples.extract(mentions, canon)
     }
     mark("triples")
-    val nodes = GraphStore.getOrCompute(spark, storeBase, "nodes") {
-      Triples.nodes(mentions, canon)
+    // Typed nodes (golden schema: props, props_arr, embedding), written
+    // directory-partitioned by id-hash bucket so downstream readers prune.
+    val nodes = GraphStore.getOrCompute(spark, storeBase, "nodes",
+        partitionByCols = Seq("bucket"), inputFp = fpNodes) {
+      Triples.nodesTyped(Triples.nodes(mentions, canon), Corpus.nodeAttrs(spark, sfDir))
         .withColumn("bucket", pmod(xxhash64(col("id")), lit(32)))
     }
-    // Edges: skip-bad-relationships at the sink (reference
+    // Edges: multi-source fusion (web co-mentions + order ledger —
+    // sources/evidence set-union, reference ppi_adapter.py:1268-1303),
+    // then skip-bad-relationships at the sink (reference
     // biocypher_config skip_bad_relationships) = endpoints must exist.
     mark("nodes")
-    val edges = GraphStore.getOrCompute(spark, storeBase, "edges") {
+    val edges = GraphStore.getOrCompute(spark, storeBase, "edges",
+        partitionByCols = Seq("bucket"), inputFp = fpEdges) {
+      import graft.merge.MergeSources
+      val fused = MergeSources.mergeAll(
+        Seq(Triples.extractEvidence(mentions, canon),
+          Corpus.ledgerEdges(spark, sfDir, canon)),
+        keys = Seq("subject_id", "relation_label", "object_id"),
+        rules = Seq(
+          MergeSources.PipeSetUnion("sources"),
+          MergeSources.PipeSetUnion("evidence")))
       val ids = nodes.select(col("id"))
-      triples
+      fused
         .join(ids.withColumnRenamed("id", "subject_id"), Seq("subject_id"), "left_semi")
         .join(ids.withColumnRenamed("id", "object_id"), Seq("object_id"), "left_semi")
-        .withColumn("properties", map(lit("source"), lit("web")))
+        .withColumn("properties", map(
+          lit("sources"), col("sources"),
+          lit("evidence"), col("evidence"),
+          lit("n_pages"), coalesce(col("n_pages"), lit(0L)).cast("string"),
+          lit("n_lines"), coalesce(col("n_lines"), lit(0L)).cast("string")))
+        .select(col("subject_id"), col("relation_label"), col("object_id"),
+          col("properties"))
         .withColumn("bucket", pmod(xxhash64(col("subject_id")), lit(32)))
     }
 

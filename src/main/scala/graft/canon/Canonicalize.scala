@@ -39,4 +39,26 @@ object Canonicalize {
   /** Column-expression variant when the mapping is already rank-resolved. */
   def lookup(resolved: DataFrame, idCol: Column): (DataFrame, Column) =
     (broadcast(resolved), idCol)
+
+  /** Taxon-checked canonicalization (the reference's organism-guarded
+    * map probe, ppi_adapter.py:478-509: a symbol resolves only when the
+    * mapping row's organism equals the record's organism). The mapping
+    * table carries (raw_id, taxon, canonical_id, priority); rank-1 is
+    * resolved PER (raw_id, taxon), and the broadcast join adds the taxon
+    * equality to the key — a symbol shared across organisms maps to the
+    * right entity per row, and rows whose (id, taxon) pair has no
+    * mapping are dropped exactly like the unguarded variant. */
+  def canonicalizeTaxon(df: DataFrame, idCol: String, taxCol: String,
+                        canon: DataFrame): DataFrame = {
+    val w = Window.partitionBy("raw_id", "taxon")
+      .orderBy(col("priority"), col("canonical_id"))
+    val m = broadcast(
+      canon.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("raw_id").as("__raw"), col("taxon").as("__tax"),
+          col("canonical_id")))
+    df.join(m, df(idCol) === col("__raw") && df(taxCol) === col("__tax"))
+      .drop(idCol).drop("__raw").drop("__tax")
+      .withColumnRenamed("canonical_id", idCol)
+  }
 }

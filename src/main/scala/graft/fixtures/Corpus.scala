@@ -169,6 +169,71 @@ object Corpus {
       concat(col("p_name"), lit(" "), col("p_brand"), lit(" "), col("p_type"),
         lit(" size "), col("p_size")).as("ptext"))
 
+  /** Per-label node attribute projections for the typed-node emission
+    * (Triples.nodesTyped): canonical product ids (lex-min PARTRAW key of
+    * the name group — matching the CC component choice) carry the
+    * canonical part's brand/type/size, the group's distinct sizes as a
+    * multi-value prop, and the 64-dim embedding row keyed by the
+    * canonical partkey; customers carry mktsegment, nations regionkey. */
+  def nodeAttrs(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = table(spark, sfDir, "part")
+    // Canonical key = lexicographic min of 'PARTRAW:<k>' per name group
+    // (the CC vertex-id ordering), NOT the numeric min.
+    val groups = part
+      .groupBy(col("p_name"))
+      .agg(
+        regexp_replace(min(concat(lit("PARTRAW:"), col("p_partkey"))), "^PARTRAW:", "")
+          .cast("long").as("minkey"),
+        array_sort(collect_set(col("p_size").cast("string"))).as("sizes"))
+    val emb = table(spark, sfDir, "embeddings").select(
+      col("vec_id"), col("embedding"))
+    val prod = groups
+      .join(part, groups("minkey") === part("p_partkey"))
+      .join(emb, groups("minkey") === emb("vec_id"), "left")
+      .select(
+        concat(lit("PART:"), col("minkey")).as("id"),
+        map(
+          lit("brand"), col("p_brand"),
+          lit("type"), col("p_type"),
+          lit("size"), col("p_size").cast("string")).as("props2"),
+        col("sizes"), col("embedding"))
+    val nullSizes = lit(null).cast("array<string>")
+    val nullEmb = lit(null).cast("array<float>")
+    val cust = table(spark, sfDir, "customer").select(
+      concat(lit("CUST:"), col("c_custkey")).as("id"),
+      map(lit("mktsegment"), col("c_mktsegment")).as("props2"),
+      nullSizes.as("sizes"), nullEmb.as("embedding"))
+    val nat = table(spark, sfDir, "nation").select(
+      concat(lit("NATION:"), col("n_nationkey")).as("id"),
+      map(lit("region"), col("n_regionkey").cast("string")).as("props2"),
+      nullSizes.as("sizes"), nullEmb.as("embedding"))
+    prod.unionByName(cust).unionByName(nat)
+  }
+
+  /** Second edge source for the merge layer (reference fuses multi-
+    * source edges, ppi_adapter.py:1268-1303): 'ordered' edges derived
+    * from the order ledger itself, with per-edge page evidence and a
+    * line count only this source carries. */
+  def ledgerEdges(spark: SparkSession, sfDir: String,
+                  canonTable: DataFrame): DataFrame = {
+    val o = table(spark, sfDir, "orders")
+    val li = table(spark, sfDir, "lineitem")
+    val canon = graft.canon.Canonicalize.rank1(canonTable)
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .select(
+        concat(lit("CUST:"), col("o_custkey")).as("subject_id"),
+        lit("ordered").as("relation_label"),
+        concat(lit("PARTRAW:"), col("l_partkey")).as("raw_object"),
+        concat(lit("https://ex.org/"), col("o_orderkey")).as("url"))
+      .join(broadcast(canon), col("raw_object") === col("raw_id"))
+      .groupBy(col("subject_id"), col("relation_label"),
+        col("canonical_id").as("object_id"))
+      .agg(
+        concat_ws("|", array_sort(collect_set(col("url")))).as("evidence"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("sources", lit("ledger"))
+  }
+
   /** Same-name chain edges over parts: consecutive partkeys within each
     * p_name group, i.e. a path graph per name (NOT a clique) — the
     * connected-components stage must actually propagate labels along

@@ -101,6 +101,46 @@ object CoreQueries {
         .select("url", "alias", "entity_id").distinct()
       Linker.rerank(cands, rv, Corpus.partProfiles(s, dir))
     }),
+    // Typed node emission: per-label props, multi-value props_arr,
+    // embedding column — flattened to scalars for the oracle (driver
+    // contract: no map/array/float columns in checked outputs).
+    "q_nodes_props" -> ((s, dir) => {
+      tune(s)
+      val pages = Corpus.pages(s, dir)
+        .select(col("url"), HtmlText.htmlText(col("html")).as("text"))
+      val mentions = Linker.mentions(pages, Corpus.aliasDict(s, dir))
+      val base = Triples.nodes(mentions, Corpus.canonicalIds(s, dir))
+      Triples.nodesTyped(base, Corpus.nodeAttrs(s, dir))
+        .select(
+          col("id"), col("label"),
+          col("props")("name").as("name"),
+          col("props")("brand").as("brand"),
+          col("props")("type").as("mtype"),
+          array_join(col("props_arr")("sizes"), "|").as("sizes"),
+          coalesce(size(col("embedding")), lit(0)).as("emb_dims"))
+    }),
+    // Multi-source edge fusion: web co-mention edges merged with ledger
+    // edges — sources/evidence set-union fused, per-source counts passed
+    // through (reference ppi merge_all, ppi_adapter.py:1268-1303).
+    "q_edges_props" -> ((s, dir) => {
+      tune(s)
+      import graft.merge.MergeSources
+      val pages = Corpus.pages(s, dir)
+        .select(col("url"), HtmlText.htmlText(col("html")).as("text"))
+      val mentions = Linker.mentions(pages, Corpus.aliasDict(s, dir))
+      val canon = Corpus.canonicalIds(s, dir)
+      val web = Triples.extractEvidence(mentions, canon)
+      val ledger = Corpus.ledgerEdges(s, dir, canon)
+      MergeSources.mergeAll(Seq(web, ledger),
+          keys = Seq("subject_id", "relation_label", "object_id"),
+          rules = Seq(
+            MergeSources.PipeSetUnion("sources"),
+            MergeSources.PipeSetUnion("evidence")))
+        .select(col("subject_id"), col("relation_label"), col("object_id"),
+          col("sources"), col("evidence"),
+          coalesce(col("n_pages"), lit(0L)).as("n_pages"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+    }),
     // Node emission (id, label, name) — map props checked rows-only
     // elsewhere; here the flat projection is oracle-checked.
     "q_nodes" -> ((s, dir) => {
@@ -216,9 +256,83 @@ object CoreQueries {
       |  FROM scored)
       |WHERE rn = 1""".stripMargin
 
+  private val nodesPropsSql =
+    """WITH pc AS (
+      |  SELECT p_name,
+      |         CAST(replace(min('PARTRAW:' || p_partkey), 'PARTRAW:', '') AS BIGINT) minkey,
+      |         list_sort(list_distinct(list(CAST(p_size AS VARCHAR)))) sizes
+      |  FROM part GROUP BY p_name),
+      |mentioned_parts AS (
+      |  SELECT DISTINCT p.p_name FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+      |mentioned_custs AS (SELECT DISTINCT o_custkey FROM orders)
+      |SELECT 'PART:' || pc.minkey id, 'product' AS "label", pc.p_name "name",
+      |       pm.p_brand brand, pm.p_type mtype,
+      |       array_to_string(pc.sizes, '|') sizes,
+      |       coalesce(len(e.embedding), 0) emb_dims
+      |FROM mentioned_parts mp JOIN pc ON pc.p_name = mp.p_name
+      |JOIN part pm ON pm.p_partkey = pc.minkey
+      |LEFT JOIN embeddings e ON e.vec_id = pc.minkey
+      |UNION ALL
+      |SELECT 'CUST:' || c.c_custkey, 'customer', c.c_name, NULL, NULL, NULL, 0
+      |FROM customer c JOIN mentioned_custs m ON m.o_custkey = c.c_custkey
+      |UNION ALL
+      |SELECT DISTINCT 'NATION:' || n.n_nationkey, 'nation', n.n_name, NULL, NULL, NULL, 0
+      |FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |JOIN mentioned_custs m ON m.o_custkey = c.c_custkey""".stripMargin
+
+  private val edgesPropsSql =
+    """WITH pc AS (
+      |  SELECT p_partkey,
+      |         'PART:' || replace(min('PARTRAW:' || p_partkey) OVER (PARTITION BY p_name), 'PARTRAW:', '') AS pid
+      |  FROM part),
+      |ord AS (
+      |  SELECT DISTINCT 'CUST:' || o.o_custkey s, pc.pid obj,
+      |         'https://ex.org/' || o.o_orderkey url
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN pc ON pc.p_partkey = l.l_partkey),
+      |web_ord AS (
+      |  SELECT s subject_id, 'ordered' relation_label, obj object_id,
+      |         array_to_string(list_sort(list(url)), '|') evidence,
+      |         count(*) n_pages
+      |  FROM ord GROUP BY 1,2,3),
+      |loc AS (
+      |  SELECT DISTINCT 'CUST:' || o.o_custkey s, 'NATION:' || c.c_nationkey obj,
+      |         'https://ex.org/' || o.o_orderkey url
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+      |web_loc AS (
+      |  SELECT s subject_id, 'located_in' relation_label, obj object_id,
+      |         array_to_string(list_sort(list(url)), '|') evidence,
+      |         count(*) n_pages
+      |  FROM loc GROUP BY 1,2,3),
+      |ledger AS (
+      |  SELECT 'CUST:' || o.o_custkey subject_id, 'ordered' relation_label,
+      |         pc.pid object_id,
+      |         array_to_string(list_sort(list_distinct(list('https://ex.org/' || o.o_orderkey))), '|') evidence,
+      |         count(*) n_lines
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN pc ON pc.p_partkey = l.l_partkey
+      |  GROUP BY 1,2,3),
+      |all_src AS (
+      |  SELECT subject_id, relation_label, object_id, 'web' src, evidence,
+      |         n_pages, CAST(NULL AS BIGINT) n_lines FROM web_ord
+      |  UNION ALL
+      |  SELECT subject_id, relation_label, object_id, 'web', evidence,
+      |         n_pages, NULL FROM web_loc
+      |  UNION ALL
+      |  SELECT subject_id, relation_label, object_id, 'ledger', evidence,
+      |         NULL, n_lines FROM ledger)
+      |SELECT subject_id, relation_label, object_id,
+      |  array_to_string(list_sort(list_distinct(list(src))), '|') sources,
+      |  array_to_string(list_sort(list_distinct(flatten(list(string_split(evidence, '|'))))), '|') evidence,
+      |  CAST(coalesce(max(n_pages), 0) AS BIGINT) n_pages,
+      |  CAST(coalesce(max(n_lines), 0) AS BIGINT) n_lines
+      |FROM all_src GROUP BY 1,2,3""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_mentions_trie" -> mentionsTrieSql,
     "q_mentions_ranked" -> mentionsRankedSql,
+    "q_nodes_props" -> nodesPropsSql,
+    "q_edges_props" -> edgesPropsSql,
     "q_pages_text" -> (pageTextSql.replace("AS text", "AS text, 'en' AS lang")),
     "q_extract_text" -> pageTextSql,
     "q_link_dict" ->

@@ -34,21 +34,59 @@ object KgSchema {
       props: Map[String, PropType])
 
   /** The engine's node types (corpus domain mirrors the reference's
-    * typed-node discipline: every id carries its type prefix). */
+    * typed-node discipline: every id carries its type prefix, scalar
+    * props live in `props`, multi-value props in `props_arr`, vectors
+    * in the `embedding` column — schema_config.yaml:32 /
+    * uniprot_adapter.py:696-838 per-type property projections). */
   val nodeTypes: Map[String, NodeType] = Map(
-    "customer" -> NodeType("customer", "CUST:", Map("name" -> PStr)),
-    "product" -> NodeType("product", "PART:", Map("name" -> PStr)),
-    "nation" -> NodeType("nation", "NATION:", Map("name" -> PStr)))
+    "customer" -> NodeType("customer", "CUST:",
+      Map("name" -> PStr, "mktsegment" -> PStr)),
+    "product" -> NodeType("product", "PART:",
+      Map("name" -> PStr, "brand" -> PStr, "type" -> PStr, "size" -> PStr,
+        "sizes" -> PStrArr, "embedding" -> PFloatArr)),
+    "nation" -> NodeType("nation", "NATION:",
+      Map("name" -> PStr, "region" -> PStr)))
 
   /** Edge types with endpoint-label constraints
-    * (schema_config.yaml:208-231 pattern). */
+    * (schema_config.yaml:208-231 pattern). Fused multi-source props
+    * mirror the reference's merged edges (ppi_adapter.py:1268-1303). */
   val edgeTypes: Map[String, EdgeType] = Map(
     "ordered" -> EdgeType("ordered", "customer", "product",
-      Map("source" -> PStr)),
+      Map("sources" -> PStr, "evidence" -> PStr,
+        "n_pages" -> PInt, "n_lines" -> PInt)),
     "located_in" -> EdgeType("located_in", "customer", "nation",
-      Map("source" -> PStr)),
+      Map("sources" -> PStr, "evidence" -> PStr,
+        "n_pages" -> PInt, "n_lines" -> PInt)),
     "co_ordered_with" -> EdgeType("co_ordered_with", "product", "product",
-      Map("source" -> PStr)))
+      Map("sources" -> PStr)))
+
+  /** The scalar-prop keys a label may carry in its `props` map. */
+  private def scalarKeys(label: String): Seq[String] =
+    nodeTypes.get(label).map(_.props.collect {
+      case (k, PStr | PInt | PFloat | PBool) => k
+    }.toSeq).getOrElse(Nil)
+
+  /** Property-typing conformance over typed nodes
+    * (id, label, props, props_arr, embedding): undeclared scalar-prop
+    * keys, undeclared array-prop keys, or an embedding of the wrong
+    * dimensionality are violations. Returns the violating rows. */
+  def nodePropViolations(nodes: DataFrame, embDim: Int = 64): DataFrame = {
+    val scalarOk = nodeTypes.values.map { nt =>
+      col("label") === nt.label &&
+        size(array_except(map_keys(col("props")),
+          typedlit(scalarKeys(nt.label)))) === 0
+    }.reduce(_ || _)
+    val arrKeys = nodeTypes.map { case (l, nt) =>
+      l -> nt.props.collect { case (k, PStrArr) => k }.toSeq
+    }
+    val arrOk = nodeTypes.values.map { nt =>
+      col("label") === nt.label &&
+        size(array_except(map_keys(col("props_arr")),
+          typedlit(arrKeys(nt.label)))) === 0
+    }.reduce(_ || _)
+    val embOk = col("embedding").isNull || size(col("embedding")) === embDim
+    nodes.filter(!(scalarOk && arrOk && embOk))
+  }
 
   /** Conformance: every node row must carry a declared label and an id
     * with that label's prefix. Returns the violating rows (empty =

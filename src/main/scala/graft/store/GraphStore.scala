@@ -42,12 +42,27 @@ object GraphStore {
     finally s.close()
   }
 
+  /** The input fingerprint recorded in a committed snapshot's manifest,
+    * or None for an uncommitted stage. Missing field (pre-fingerprint
+    * snapshots) reads as "". */
+  def committedFingerprint(base: String, stage: String): Option[String] = {
+    val n = latestSnapshot(base, stage)
+    if (n < 0) None
+    else {
+      val m = Files.readString(snapDir(base, stage, n).resolve("manifest.json"))
+      val pat = """"input_fp":"([^"]*)"""".r
+      Some(pat.findFirstMatchIn(m).map(_.group(1)).getOrElse(""))
+    }
+  }
+
   /** Write `df` as the next snapshot of `stage`. The lineage table gets
     * one row per output partition: xxhash64-fold of the rows it holds,
-    * its row count, and the wall-clock of this commit. Returns the new
-    * snapshot id. */
+    * its row count, and the wall-clock of this commit. `inputFp` is the
+    * caller's fingerprint of everything the stage read (upstream
+    * manifests + params); resume compares it before reusing a snapshot.
+    * Returns the new snapshot id. */
   def commit(spark: SparkSession, base: String, stage: String, df: DataFrame,
-             partitionByCols: Seq[String] = Nil): Long = {
+             partitionByCols: Seq[String] = Nil, inputFp: String = ""): Long = {
     val next = latestSnapshot(base, stage) + 1
     val dir = snapDir(base, stage, next)
     val t0 = System.nanoTime()
@@ -83,7 +98,7 @@ object GraphStore {
     // Atomic commit: manifest written to a temp name, then renamed.
     val manifest =
       s"""{"stage":"$stage","snapshot":$next,"rows":$totalRows,""" +
-        s""""committed_ms":$elapsedMs}"""
+        s""""committed_ms":$elapsedMs,"input_fp":"$inputFp"}"""
     val tmp = dir.resolve(".manifest.tmp")
     Files.writeString(tmp, manifest)
     Files.move(tmp, dir.resolve("manifest.json"), StandardCopyOption.ATOMIC_MOVE)
@@ -104,13 +119,23 @@ object GraphStore {
     else Some(spark.read.parquet(snapDir(base, stage, n).resolve("lineage").toString))
   }
 
-  /** Compute-or-resume: if `stage` has a committed snapshot, read it;
-    * otherwise compute `f`, commit, and read back the committed data.
-    * This is the per-stage checkpoint the north rule requires. */
-  def getOrCompute(spark: SparkSession, base: String, stage: String)
-                  (f: => DataFrame): DataFrame =
-    readLatest(spark, base, stage).getOrElse {
-      commit(spark, base, stage, f)
+  /** Compute-or-resume: if `stage` has a committed snapshot whose
+    * recorded input fingerprint matches `inputFp`, read it; otherwise
+    * compute `f`, commit (optionally directory-partitioned for
+    * downstream pruning), and read back the committed data. A changed
+    * corpus/params therefore invalidates stale snapshots instead of
+    * silently resuming wrong data. This is the per-stage checkpoint the
+    * north rule requires. */
+  def getOrCompute(spark: SparkSession, base: String, stage: String,
+                   partitionByCols: Seq[String] = Nil, inputFp: String = "")
+                  (f: => DataFrame): DataFrame = {
+    val fresh = committedFingerprint(base, stage).contains(inputFp)
+    if (fresh) readLatest(spark, base, stage).get
+    else {
+      if (committedFingerprint(base, stage).isDefined)
+        println(s"[store] stage=$stage input fingerprint changed — recomputing")
+      commit(spark, base, stage, f, partitionByCols, inputFp)
       readLatest(spark, base, stage).get
     }
+  }
 }
