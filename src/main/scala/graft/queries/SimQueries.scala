@@ -24,9 +24,13 @@ object SimQueries {
       val queriesDf = corpus.filter(pmod(col("id"), lit(5)) === 0)
       Knn.bruteForceTopK(queriesDf, corpus, k = 5)
     }),
+    // Multi-table SRP LSH with hamming-1 probes — now fully oracle-
+    // checked: the signature arithmetic is integer-mix coefficients +
+    // exact power-of-two division, reproduced verbatim in DuckDB.
     "q_knn_lsh" -> ((s, dir) => {
       tune(s)
-      Knn.lshTopK(emb(s, dir), dim = 64, nPlanes = 8, k = 5)
+      Knn.lshTopK(emb(s, dir), dim = 64, k = 5,
+        nPlanes = 6, nTables = 8, maxBucket = 4096, probe = true)
     }),
     "q_cosine_neardup" -> ((s, dir) => {
       tune(s)
@@ -44,7 +48,55 @@ object SimQueries {
     })
   )
 
+  /** DuckDB mirror of Knn.srpSignature for table `t`: per plane p the
+    * projection is an ORDERED left-fold sum (list_reduce seeded [0.0] =
+    * Spark's aggregate seeded 0.0), coefficients the same integer mix +
+    * exact /2^19 — bit-identical sign bits in both engines. */
+  private def lshSigSql(dim: Int, nPlanes: Int, t: Int): String =
+    (0 until nPlanes).map { p =>
+      val off = (p + t * nPlanes + 1) * 40503L
+      s"(CASE WHEN list_reduce([0.0] || list_transform(generate_series(1, $dim), " +
+        s"d -> e[d] * ((d * 2654435761 + $off) % 1048576 / 524288.0 - 1.0)), " +
+        s"(a, b) -> a + b) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def dotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce([0.0] || list_transform(generate_series(1, $dim), " +
+      s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  private val knnLshSql: String = {
+    val dim = 64; val k = 5; val nPlanes = 6; val nTables = 8
+    val sigArms = (0 until nTables).map(t =>
+      s"SELECT vec_id, $t tbl, ${lshSigSql(dim, nPlanes, t)} sig FROM c")
+      .mkString("\n  UNION ALL\n  ")
+    val probeList = ("sig" +: (0 until nPlanes).map(j => s"xor(sig, ${1L << j})"))
+      .mkString("[", ", ", "]")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |sigs AS (
+       |  $sigArms),
+       |probes AS (
+       |  SELECT vec_id, tbl, unnest($probeList) psig FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id, s.vec_id neighbor_id
+       |  FROM probes p JOIN sigs s
+       |    ON s.tbl = p.tbl AND s.sig = p.psig AND s.vec_id <> p.vec_id),
+       |scored AS (
+       |  SELECT cd.vec_id, cd.neighbor_id,
+       |    ${dotSql("q.e", "a.e", dim)}
+       |      / (sqrt(${dotSql("q.e", "q.e", dim)})
+       |         * sqrt(${dotSql("a.e", "a.e", dim)})) sim
+       |  FROM cand cd JOIN c q ON q.vec_id = cd.vec_id
+       |  JOIN c a ON a.vec_id = cd.neighbor_id)
+       |SELECT vec_id, rank, neighbor_id FROM (
+       |  SELECT vec_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY sim DESC, neighbor_id) rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_knn_lsh" -> knnLshSql,
     "q_knn_cosine" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
         |q AS (SELECT * FROM c WHERE vec_id % 5 = 0)

@@ -57,8 +57,9 @@ object TextQueries {
       DedupOps.ngramJaccardPairs(docsWithDups(s, dir), "doc_id", "text",
         n = 3, tau = 0.5)
     }),
-    // Rows-only (engine-specific hashing); exact-verified pairs so
-    // precision is 1 by construction; recall asserted in ScalaTest.
+    // Fully oracle-checked since the hash is a portable polynomial fold
+    // (no xxhash64): DuckDB rebuilds signatures, banding, candidates and
+    // the exact verification bit-for-bit.
     "q_minhash_neardup" -> ((s, dir) => {
       tune(s)
       DedupOps.minhashNearDupPairs(docsWithDups(s, dir), "doc_id", "text")
@@ -71,7 +72,77 @@ object TextQueries {
 
   private val tokSql = "string_split(text, ' ')"
 
+  private val dupsSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  /** Per-token polynomial char codes (DedupOps.tokenCode mirror). */
+  private def codesSql(m: Long): String =
+    s"list_transform($tokSql, t -> list_reduce([CAST(0 AS BIGINT)] || " +
+      s"list_transform(generate_series(1, length(t)), i -> CAST(ord(t[i]) AS BIGINT)), " +
+      s"(a, b) -> (a * 131 + b) % $m))"
+
+  /** DuckDB mirror of minhashNearDupPairs(n=3, k=64, r=2, tau=0.5),
+    * generated from the SAME hashParams coefficients. */
+  private val minhashSql: String = {
+    val perms = DedupOps.hashParams(64).map { case (a, b) =>
+      s"list_min(list_transform(shc, x -> ($a * x + $b) % 2147483647))"
+    }.mkString("[\n  ", ",\n  ", "]")
+    s"""WITH d AS (
+       |  $dupsSql),
+       |codes AS (SELECT doc_id, ${codesSql(1048573L)} cs FROM d),
+       |shc AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(cs) - 2),
+       |    i -> ((cs[i] * 8191 + cs[i+1]) % 2147483647 * 8191 + cs[i+2]) % 2147483647)) shc
+       |  FROM codes WHERE len(cs) >= 3),
+       |sigs AS (SELECT doc_id, shc, $perms sig FROM shc),
+       |bk AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(0, 31),
+       |    b -> {'band': b, 'bucket': CAST(sig[2*b+1] AS VARCHAR) || ',' || CAST(sig[2*b+2] AS VARCHAR)})) bb
+       |  FROM sigs),
+       |bkf AS (SELECT doc_id, bb.band band, bb.bucket bucket FROM bk),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id id1, b.doc_id id2
+       |  FROM bkf a JOIN bkf b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |ver AS (
+       |  SELECT c.id1, c.id2, len(list_intersect(s1.shc, s2.shc)) common,
+       |         len(s1.shc) size1, len(s2.shc) size2
+       |  FROM cand c JOIN shc s1 ON s1.doc_id = c.id1
+       |  JOIN shc s2 ON s2.doc_id = c.id2)
+       |SELECT id1, id2, common, size1, size2
+       |FROM ver WHERE 3 * common >= size1 + size2""".stripMargin
+  }
+
+  /** DuckDB mirror of simhashNearDupPairs (31-bit signature, 4×8-bit
+    * chunk banding, hamming <= 3). */
+  private val simhashSql: String = {
+    val sigBits = (0 until 31).map { b =>
+      s"(CASE WHEN list_reduce([CAST(0 AS BIGINT)] || list_transform(hs, " +
+        s"h -> ((h >> $b) & 1) * 2 - 1), (a, c) -> a + c) > 0 " +
+        s"THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" +\n  ")
+    s"""WITH d AS (
+       |  $dupsSql),
+       |th AS (SELECT doc_id, ${codesSql(2147483647L)} hs FROM d),
+       |sig AS (SELECT doc_id, $sigBits sig FROM th),
+       |ch AS (
+       |  SELECT doc_id, sig, unnest(list_transform(generate_series(0, 3),
+       |    c -> {'c': c, 'v': (sig >> (8 * c)) & 255})) cc
+       |  FROM sig),
+       |chf AS (SELECT doc_id, sig, cc.c c, cc.v v FROM ch),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id id1, b.doc_id id2, a.sig s1, b.sig s2
+       |  FROM chf a JOIN chf b
+       |    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT id1, id2, bit_count(xor(s1, s2)) hamming
+       |FROM cand WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_minhash_neardup" -> minhashSql,
+    "q_simhash_neardup" -> simhashSql,
     "q_doc_stats" ->
       s"""SELECT doc_id,
          |  len($tokSql) n_tokens,

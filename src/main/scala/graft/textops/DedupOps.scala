@@ -80,31 +80,65 @@ object DedupOps {
       .select("id1", "id2", "common", "size1", "size2")
   }
 
-  /** MinHash signature matrix: (doc_id, i, minhash) for i in 0..k-1.
-    * h_i(x) = (a_i * (xxhash64(shingle) mod p) + b_i) mod p with fixed
-    * deterministic coefficients — products stay < 2^62 (ANSI-safe). */
-  private val P = 2147483647L // 2^31 - 1
-  private def hashParams(k: Int): Seq[(Int, Long, Long)] =
-    (0 until k).map(i => (i, 1103515245L * (i + 1) % P, 12345L + 2654435761L * i % P))
+  // ---------------------------------------------------------------
+  // Cross-engine polynomial hashing. xxhash64 is Spark-only; these
+  // folds are exact integer arithmetic any engine reproduces (the
+  // fingerprint pattern, TextOps.fingerprint), so the MinHash/SimHash
+  // outputs below are DuckDB-oracle-checkable, not rows-only.
+  // ---------------------------------------------------------------
+  private val CHAR_M = 1048573L // prime < 2^20: per-token char-fold space
+  val P = 2147483647L // 2^31 - 1: shingle / permutation space
+
+  /** Per-token polynomial char hash mod m:
+    * fold (h*131 + ord(char)) % m, left to right. */
+  def tokenCode(t: Column, m: Long): Column =
+    when(length(t) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(t)),
+          i => ascii(t.substr(i, lit(1))).cast("long")),
+        lit(0L), (h, c) => (h * 131L + c) % m))
+
+  /** Distinct n-token shingle CODES per doc: per-token char codes once,
+    * then a rolling polynomial over each n-window — 8 bytes per shingle
+    * instead of the string (the shuffle-key discipline at 100 TB), and
+    * portable to the oracle engine. */
+  def shingleCodes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextOps.let(
+          transform(TextOps.tokens(col(textCol)), t => tokenCode(t, CHAR_M)),
+          codes => array_distinct(
+            when(size(codes) >= n,
+              transform(sequence(lit(0), size(codes) - n), i =>
+                (0 until n).foldLeft(lit(0L))((h, j) =>
+                  (h * 8191L + element_at(codes, (i + j + 1).cast("int"))) % P)))
+              .otherwise(array().cast("array<long>")))).as("shc"))
+      .filter(size(col("shc")) > 0)
+
+  /** MinHash permutation coefficients h_i(x) = (a_i * x + b_i) mod P —
+    * fixed and public so the oracle SQL is generated from the SAME
+    * values. Products stay < 2^62 (ANSI-safe). */
+  def hashParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i => (1103515245L * (i + 1) % P, 12345L + 2654435761L * i % P))
 
   /** Shuffle-FREE signature computation: the whole k-permutation min is
-    * a per-row array expression (shingle hashes once, then k mins over
-    * the hash array) — minhashing is embarrassingly parallel and must
-    * not shuffle at 100 TB. Output: (doc_id, sig array<long>[k]). */
+    * a per-row array expression (shingle codes once, then k mins over
+    * the code array) — minhashing is embarrassingly parallel and must
+    * not shuffle at 100 TB. Output: (doc_id, shc, sig array<long>[k]). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame = {
     val params = hashParams(k)
-    shingleSets(docs, idCol, textCol, n)
-      .select(col("doc_id"),
-        TextOps.let(transform(col("shs"), sh => pmod(xxhash64(sh), lit(P))),
-          xs => array(params.map { case (_, a, b) =>
-            array_min(transform(xs, x => pmod(lit(a) * x + lit(b), lit(P))))
+    shingleCodes(docs, idCol, textCol, n)
+      .select(col("doc_id"), col("shc"),
+        TextOps.let(col("shc"),
+          xs => array(params.map { case (a, b) =>
+            array_min(transform(xs, x => (lit(a) * x + lit(b)) % lit(P)))
           }: _*)).as("sig"))
   }
 
   /** LSH candidate pairs from banded signatures (bands of r rows), then
-    * EXACT Jaccard verification >= tau (precision 1; recall governed by
-    * the (k, r) banding curve). */
+    * EXACT Jaccard verification >= tau over the shingle-code sets
+    * (precision 1 up to code collisions ~2^-31; recall governed by the
+    * (k, r) banding curve). */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, k: Int = 64, r: Int = 2,
                           tau: Double = 0.5): DataFrame = {
@@ -112,8 +146,8 @@ object DedupOps {
     val nBands = k / r
     val buckets = sig.select(col("doc_id"),
         posexplode(array((0 until nBands).map { b =>
-          xxhash64(concat_ws(",",
-            (0 until r).map(j => element_at(col("sig"), b * r + j + 1)): _*))
+          concat_ws(",", (0 until r).map(j =>
+            element_at(col("sig"), b * r + j + 1).cast("string")): _*)
         }: _*)).as(Seq("band", "bucket")))
     val cand = buckets.alias("a").join(buckets.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -121,51 +155,42 @@ object DedupOps {
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
     // exact verify on candidates only
-    val sets = shingleSets(docs, idCol, textCol, n)
+    val sets = shingleCodes(docs, idCol, textCol, n)
     val verified = cand
-      .join(sets.select(col("doc_id").as("id1"), col("shs").as("shs1")), "id1")
-      .join(sets.select(col("doc_id").as("id2"), col("shs").as("shs2")), "id2")
-      .withColumn("common", size(array_intersect(col("shs1"), col("shs2"))))
-      .withColumn("size1", size(col("shs1")))
-      .withColumn("size2", size(col("shs2")))
+      .join(sets.select(col("doc_id").as("id1"), col("shc").as("shc1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("shc").as("shc2")), "id2")
+      .withColumn("common", size(array_intersect(col("shc1"), col("shc2"))))
+      .withColumn("size1", size(col("shc1")))
+      .withColumn("size2", size(col("shc2")))
       .filter(col("common") * (1.0 + tau) >= lit(tau) * (col("size1") + col("size2")))
     verified.select("id1", "id2", "common", "size1", "size2")
   }
 
-  /** 64-bit SimHash per doc over token hashes (FNV-1a based, computed in
-    * pure column expressions bit-by-bit would explode the plan; instead
-    * a compact 16-bit variant per band keeps it relational). Here:
-    * classic 64-bit simhash via typed map (plain Scala, distributed). */
-  def simhash64(tokens: Seq[String]): Long = {
-    val counts = new Array[Int](64)
-    tokens.foreach { t =>
-      var h = 0xcbf29ce484222325L // FNV offset basis
-      var i = 0
-      while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-      var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
-    sig
-  }
+  /** Portable 31-bit SimHash per doc: bit b of the signature is the
+    * sign of Σ_tokens (±1 per bit b of the token's char-poly hash).
+    * Pure column expressions — whole-stage codegen, no typed map, and
+    * bit-identical in the oracle engine. */
+  def simhashSignature(textCol: Column, bits: Int = 31): Column =
+    TextOps.let(
+      transform(TextOps.tokens(textCol), t => tokenCode(t, P)),
+      hs => (0 until bits).map { b =>
+        val cnt = aggregate(hs, lit(0L), (acc, h) =>
+          acc + shiftright(h, b).bitwiseAND(lit(1L)) * 2L - 1L)
+        when(cnt > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _))
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming.
-    * Banding on 4×16-bit chunks: a pair within hamming 3 must agree on
-    * at least one chunk (pigeonhole), so candidates are an equi-join. */
+    * Banding on 4×8-bit chunks of the 31-bit signature: a pair within
+    * hamming 3 must agree on at least one chunk (pigeonhole), so
+    * candidates are an equi-join — never all-pairs. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sigs = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, simhash64(text.trim.split("\\s+").toSeq)) }
-      .toDF("doc_id", "sig")
+    val sigs = docs.select(col(idCol).as("doc_id"),
+      simhashSignature(col(textCol)).as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("chunk"),
-            shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)).as("val"))): _*)).as("c"))
+            shiftright(col("sig"), i * 8).bitwiseAND(lit(0xFFL)).as("val"))): _*)).as("c"))
       .select(col("doc_id"), col("sig"), col("c.chunk"), col("c.val"))
     chunks.alias("a").join(chunks.alias("b"),
         col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&

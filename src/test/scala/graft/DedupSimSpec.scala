@@ -50,16 +50,27 @@ class DedupSimSpec extends AnyFunSuite {
     assert(r((1L, 3L)) == 0)
     assert(r.values.forall(_ <= 16))
     // near-dup texts have closer signatures than unrelated ones
-    val s1 = DedupOps.simhash64(docs.filter($"doc_id" === 1).select("text").as[String].head().split(" ").toSeq)
-    val s2 = DedupOps.simhash64(docs.filter($"doc_id" === 2).select("text").as[String].head().split(" ").toSeq)
-    val s4 = DedupOps.simhash64(docs.filter($"doc_id" === 4).select("text").as[String].head().split(" ").toSeq)
+    def sig(id: Long): Long = docs.filter($"doc_id" === id)
+      .select(DedupOps.simhashSignature(col("text"))).as[Long].head()
+    val (s1, s2, s4) = (sig(1L), sig(2L), sig(4L))
     assert(java.lang.Long.bitCount(s1 ^ s2) < java.lang.Long.bitCount(s1 ^ s4))
   }
 
-  test("simhash64 is deterministic and order-sensitive only via token multiset") {
-    val a = DedupOps.simhash64(Seq("x", "y", "z"))
-    val b = DedupOps.simhash64(Seq("x", "y", "z"))
-    assert(a == b)
+  test("simhash signature is deterministic and fits in 31 bits") {
+    val d = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val sigs = d.select(DedupOps.simhashSignature(col("text"))).as[Long].collect()
+    assert(sigs(0) == sigs(1) && sigs(0) >= 0 && sigs(0) < (1L << 31))
+  }
+
+  test("tokenCode matches the hand-rolled polynomial fold") {
+    // "ab" -> ((0*131+97)%m*131+98)%m = 12805 (matches the DuckDB
+    // list_reduce form in the q_minhash oracle)
+    val c = Seq(Tuple1("ab")).toDF("t")
+      .select(DedupOps.tokenCode(col("t"), 1048573L)).as[Long].head()
+    assert(c == (97L * 131 + 98) % 1048573)
+    val empty = Seq(Tuple1("")).toDF("t")
+      .select(DedupOps.tokenCode(col("t"), 1048573L)).as[Long].head()
+    assert(empty == 0L)
   }
 
   private val vecs = Seq(
@@ -82,14 +93,36 @@ class DedupSimSpec extends AnyFunSuite {
     assert(r == Set((0L, 1L), (2L, 3L)))
   }
 
-  test("LSH knn returns a subset ranking consistent with brute force inside buckets") {
-    val corpus = Corpus64.df(spark)
+  test("LSH knn recall >= 0.8 vs brute force on the 64-dim fixture") {
+    val corpus = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val brute = Knn.bruteForceTopK(corpus, corpus, 5)
       .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val lsh = Knn.lshTopK(corpus, dim = 64, nPlanes = 4, k = 5)
+    val lsh = Knn.lshTopK(corpus, dim = 64, k = 5,
+        nPlanes = 6, nTables = 8, maxBucket = 4096, probe = true)
       .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = lsh.intersect(brute).size.toDouble / brute.size
-    assert(recall > 0.3, s"bucketed recall sanity: $recall") // coarse quantizer, sanity only
+    assert(recall >= 0.8, s"multi-table+probe LSH recall: $recall")
+  }
+
+  test("autoPlanes bounds expected bucket size by corpus scale") {
+    assert(Knn.autoPlanes(1000L, 1024L) == 4) // floor
+    assert(Knn.autoPlanes(1L << 20, 1024L) == 10)
+    assert(Knn.autoPlanes(1L << 30, 1024L) == 20)
+    // 10^12 rows -> 2^30 buckets: within-bucket work stays ~targetBucket²
+    assert(Knn.autoPlanes(1000000000000L, 1024L) == 30)
+  }
+
+  test("LSH per-bucket cap truncates deterministically by id") {
+    val corpus = Corpus64.df(spark)
+    // cap of 1 leaves at most one corpus-side member per bucket: every
+    // query can only ever see the lowest-id member of each bucket
+    val lsh = Knn.lshTopK(corpus, dim = 64, k = 100,
+        nPlanes = 2, nTables = 1, maxBucket = 1, probe = false)
+      .select("neighbor_id").as[Long].collect().toSet
+    // with 2 planes there are at most 4 buckets -> at most 4 distinct
+    // surviving corpus-side members
+    assert(lsh.size <= 4)
   }
 
   test("fingerprint/token stats golden") {
