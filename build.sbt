@@ -28,5 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // default G1: an A/B against ParallelGC showed G1 ~25% faster on the
-  // string-heavy pipeline at 8 threads
-)
+  // string-heavy pipeline at 8 threads; SPARK_GRAFT_GC overrides for
+  // per-thread-count GC experiments (Parallel/G1/Z)
+) ++ sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq

@@ -69,10 +69,14 @@ object Pipeline {
     val fpEdges = s"edges-fused-v2;$fpMentions;$fpCanon;src=web+ledger"
 
     // Stage 1: extract (+ per-row audit vs the reference text column).
+    // Explicit url-hash repartition happens BEFORE amplification: the
+    // shuffle moves only the base corpus (replicas explode map-side in
+    // place, 16× less shuffled bytes at mult=16) and per-page work stays
+    // uniformly spread because replicas of a page are interchangeable.
     val extracted = GraphStore.getOrCompute(spark, storeBase, "extracted",
         inputFp = fpExtract) {
-      amplify(Corpus.pages(spark, sfDir), mult)
-        .repartition(partitions, xxhash64(col("url")))
+      amplify(Corpus.pages(spark, sfDir)
+          .repartition(partitions, xxhash64(col("url"))), mult)
         .select(
           col("url"), col("warc_ts"), col("lang"),
           HtmlText.htmlText(col("html")).as("text"),

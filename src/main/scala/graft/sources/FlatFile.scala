@@ -36,16 +36,20 @@ object FlatFile {
     out.toMap
   }
 
-  /** Read a flat file into (record_id, field, value) rows. */
+  /** Read a flat file into (record_id, field, value) rows. The record
+    * id is xxhash64 of the record body — a content key that is stable
+    * across reruns and partition layouts (monotonically_increasing_id
+    * would renumber records whenever the scan splits differently, so
+    * parsed-record lineage would not be reproducible). */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val records = spark.read.option("lineSep", "///").text(path)
       .select(trim(col("value")).as("body"))
       .filter(length(col("body")) > 0)
     records.as[String]
-      .mapPartitions(_.map(parseRecord))
-      .toDF("fields")
-      .withColumn("record_id", monotonically_increasing_id())
+      .mapPartitions(_.map(body => (body, parseRecord(body))))
+      .toDF("body", "fields")
+      .withColumn("record_id", xxhash64(col("body")))
       .select(col("record_id"), explode(col("fields")).as(Seq("field", "vals")))
       .select(col("record_id"), col("field"), explode(col("vals")).as("value"))
   }

@@ -68,7 +68,12 @@ object GraphStore {
     val t0 = System.nanoTime()
 
     val dataPath = dir.resolve("data").toString
-    val writer = df.write.mode("overwrite")
+    // zstd: stage snapshots are text-heavy (page text, urls, evidence);
+    // ~3x smaller files turn a memory/IO-bandwidth-bound write+readback
+    // (which does NOT scale with cores on one box) into CPU work (which
+    // does) — measured as the difference between flat and scaling
+    // extract/mentions stages at high thread counts.
+    val writer = df.write.mode("overwrite").option("compression", "zstd")
     (if (partitionByCols.nonEmpty) writer.partitionBy(partitionByCols: _*) else writer)
       .parquet(dataPath)
 

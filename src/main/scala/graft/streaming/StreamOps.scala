@@ -1,7 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A (doc_id, text_hash) pair flowing through the streaming dedup. */
+final case class HashedDoc(doc_id: Long, text_hash: Long)
 
 /** Streaming-shaped transforms. The reference is pure batch (SURVEY.md
   * §2.11) so streaming here is additive surface: the same windowed
@@ -32,4 +36,28 @@ object StreamOps {
   /** Watermarked variant for append-mode streaming sinks. */
   def hourlyAggStreaming(events: DataFrame): DataFrame =
     hourlyAgg(events.withWatermark("ts", "2 hours"))
+
+  /** Streaming exact-dedup with CUSTOM STATE (flatMapGroupsWithState —
+    * SURVEY §2.11's KeyValueGroupedDataset surface): the first document
+    * ever seen for each text hash is emitted; every later duplicate —
+    * in the same micro-batch (min doc_id wins, deterministic) or any
+    * later one (state) — is dropped. This is the streaming counterpart
+    * of DedupOps.exactDedup for continuously-arriving corpora.
+    *
+    * Scale: state is one boolean per distinct hash, partitioned by the
+    * groupByKey shuffle — the state store grows with distinct content,
+    * not with stream length. */
+  def dedupStream(docs: Dataset[HashedDoc]): Dataset[HashedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.text_hash)
+      .flatMapGroupsWithState[Boolean, HashedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[HashedDoc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_.doc_id))
+          }
+      }
+  }
 }

@@ -21,28 +21,63 @@ import graft.canon.Canonicalize
   */
 object Triples {
 
+  /** Scale shape shared by [[extract]] and [[extractEvidence]]: ONE
+    * scan of the (10^12-page-proportional) mentions table, canonical
+    * ids applied map-side as a broadcast join over 8-byte hashed keys,
+    * then ONE shuffle grouping by hashed url — the per-page entity sets
+    * are tiny, so the relation cross-product explodes map-side after
+    * the group. Shuffling hashes instead of url/entity strings cut the
+    * stage's CPU several-fold (measured); canonical strings are
+    * restored at the end via the broadcast dimension.
+    *
+    * (xxhash64 key space: a pair collision among E entities / U urls
+    * has probability ~E²/2^65 — negligible at any realistic dictionary
+    * and corpus size.)
+    *
+    * Output: (u, url, cs, ps, ns) — canonical-hash sets per page. */
+  private def perPageEntitySets(mentions: DataFrame, canon: DataFrame): DataFrame = {
+    val cmap = broadcast(Canonicalize.rank1(canon).select(
+      xxhash64(col("raw_id")).as("e"),
+      xxhash64(col("canonical_id")).as("ce")))
+    mentions
+      .select(xxhash64(col("url")).as("u"), col("url"),
+        xxhash64(col("entity_id")).as("e"), col("entity_label").as("l"))
+      .join(cmap, "e")
+      .groupBy("u")
+      .agg(
+        min(col("url")).as("url"),
+        collect_set(when(col("l") === "customer", col("ce"))).as("cs"),
+        collect_set(when(col("l") === "product", col("ce"))).as("ps"),
+        collect_set(when(col("l") === "nation", col("ce"))).as("ns"))
+  }
+
+  /** Map-side relation cross-product: (subject, rel, object) hash rows
+    * from one page's entity sets. */
+  private def relationPairs(df: DataFrame): DataFrame =
+    df.select(col("url"),
+        explode(flatten(transform(col("cs"), c =>
+          concat(
+            transform(col("ps"), p =>
+              struct(c.as("se"), lit("ordered").as("relation_label"), p.as("oe"))),
+            transform(col("ns"), n =>
+              struct(c.as("se"), lit("located_in").as("relation_label"), n.as("oe"))))))).as("t"))
+      .select(col("url"), col("t.se"), col("t.relation_label"), col("t.oe"))
+
+  /** Broadcast canonical-hash -> canonical-id dimension. */
+  private def canonDim(canon: DataFrame): DataFrame =
+    Canonicalize.rank1(canon).select(col("canonical_id")).distinct()
+      .select(xxhash64(col("canonical_id")).as("ce"), col("canonical_id"))
+
   def extract(mentions: DataFrame, canon: DataFrame): DataFrame = {
-    val cust = mentions.filter(col("entity_label") === "customer")
-      .select(col("url"), col("entity_id").as("subject_id"))
-      .distinct()
-    val prod = mentions.filter(col("entity_label") === "product")
-      .select(col("url"), col("entity_id").as("object_id"))
-      .distinct()
-    val nat = mentions.filter(col("entity_label") === "nation")
-      .select(col("url"), col("entity_id").as("object_id"))
-      .distinct()
-
-    val ordered = cust.join(prod, "url")
-      .select(col("subject_id"), lit("ordered").as("relation_label"), col("object_id"))
-    val located = cust.join(nat, "url")
-      .select(col("subject_id"), lit("located_in").as("relation_label"), col("object_id"))
-
-    val raw = ordered.unionByName(located)
-    val canonSubj = Canonicalize.canonicalize(raw, "subject_id", canon)
-    val canonBoth = Canonicalize.canonicalize(canonSubj, "object_id", canon)
-    canonBoth
+    // Second (and last) shuffle: distinct on 8-byte triple keys, with
+    // map-side partial dedup collapsing duplicate pages' pairs.
+    val keys = relationPairs(perPageEntitySets(mentions, canon))
+      .select("se", "relation_label", "oe").distinct()
+    val dim = broadcast(canonDim(canon))
+    keys
+      .join(dim.select(col("ce").as("se"), col("canonical_id").as("subject_id")), "se")
+      .join(dim.select(col("ce").as("oe"), col("canonical_id").as("object_id")), "oe")
       .select(col("subject_id"), col("relation_label"), col("object_id"))
-      .distinct()
   }
 
   /** Node emission: distinct canonical entities with label + name prop
@@ -65,28 +100,23 @@ object Triples {
     * Output: (subject_id, relation_label, object_id, sources, evidence,
     * n_pages). */
   def extractEvidence(mentions: DataFrame, canon: DataFrame): DataFrame = {
-    val cust = mentions.filter(col("entity_label") === "customer")
-      .select(col("url"), col("entity_id").as("subject_id")).distinct()
-    val prod = mentions.filter(col("entity_label") === "product")
-      .select(col("url"), col("entity_id").as("object_id")).distinct()
-    val nat = mentions.filter(col("entity_label") === "nation")
-      .select(col("url"), col("entity_id").as("object_id")).distinct()
-
-    val ordered = cust.join(prod, "url")
-      .select(col("url"), col("subject_id"),
-        lit("ordered").as("relation_label"), col("object_id"))
-    val located = cust.join(nat, "url")
-      .select(col("url"), col("subject_id"),
-        lit("located_in").as("relation_label"), col("object_id"))
-
-    val raw = ordered.unionByName(located)
-    val canonSubj = Canonicalize.canonicalize(raw, "subject_id", canon)
-    val canonBoth = Canonicalize.canonicalize(canonSubj, "object_id", canon)
-    canonBoth
-      .groupBy("subject_id", "relation_label", "object_id")
-      .agg(
-        concat_ws("|", array_sort(collect_set(col("url")))).as("evidence"),
-        countDistinct(col("url")).as("n_pages"))
+    // Same one-scan/one-group shape as extract; the url payload (needed
+    // for the witness list) is the only string in the wide shuffles.
+    // ONE aggregation: the witness count is the size of the collected
+    // set (countDistinct alongside collect_set would plan an Expand,
+    // doubling the aggregation input).
+    val edges = relationPairs(perPageEntitySets(mentions, canon))
+      .groupBy("se", "relation_label", "oe")
+      .agg(array_sort(collect_set(col("url"))).as("ev"))
+      .select(col("se"), col("relation_label"), col("oe"),
+        concat_ws("|", col("ev")).as("evidence"),
+        size(col("ev")).cast("long").as("n_pages"))
+    val dim = broadcast(canonDim(canon))
+    edges
+      .join(dim.select(col("ce").as("se"), col("canonical_id").as("subject_id")), "se")
+      .join(dim.select(col("ce").as("oe"), col("canonical_id").as("object_id")), "oe")
+      .select(col("subject_id"), col("relation_label"), col("object_id"),
+        col("evidence"), col("n_pages"))
       .withColumn("sources", lit("web"))
   }
 

@@ -58,6 +58,12 @@ class SchemaSourcesSpec extends AnyFunSuite {
     assert(rows.count(_._2 == "ENTRY") == 2)
     val d1Links = rows.filter(r => r._2 == "DBLINKS").map(_._3).toSet
     assert(d1Links == Set("CAS: 50-00-0", "PubChem: 12345"))
+    // record ids are content keys: a second read (different partition
+    // layout) assigns the SAME ids — lineage is reproducible
+    val again = FlatFile.read(spark, dir.toString).as[(Long, String, String)]
+      .collect().toSet
+    assert(again == rows.toSet)
+    assert(rows.map(_._1).distinct.length == 2)
   }
 
   test("flat-file parseRecord pure-function golden") {

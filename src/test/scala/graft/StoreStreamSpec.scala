@@ -88,6 +88,35 @@ class StoreStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming: stateful dedup emits each hash once across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.HashedDoc
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[HashedDoc]
+    val q = StreamOps.dedupStream(in.toDS()).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    // batch 1: hashes 10, 20 (and a same-batch dup of 10 -> min id wins)
+    in.addData(HashedDoc(3L, 10L), HashedDoc(1L, 10L), HashedDoc(2L, 20L))
+    q.processAllAvailable()
+    // batch 2: 10 and 20 again (state drops them) + new hash 30
+    in.addData(HashedDoc(9L, 10L), HashedDoc(8L, 20L), HashedDoc(7L, 30L))
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").as[HashedDoc].collect().toSet
+    q.stop()
+    assert(out == Set(HashedDoc(1L, 10L), HashedDoc(2L, 20L), HashedDoc(7L, 30L)))
+  }
+
+  test("streaming dedup agrees with batch exactDedup canonical ids") {
+    import graft.streaming.HashedDoc
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select($"doc_id", xxhash64($"text").as("text_hash")).as[HashedDoc]
+    val streamed = StreamOps.dedupStream(docs).collect().map(_.doc_id).toSet
+    val batch = graft.textops.DedupOps.exactDedup(
+      docs.toDF(), "doc_id", "text_hash")
+      .select("canonical_id").as[Long].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("multimodal: batch feature extraction is deterministic with real schema") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val media = Multimodal.mediaFromDocuments(docs)
