@@ -68,13 +68,31 @@ object Pipeline {
     val fpNodes = s"nodes-typed-v2;$fpMentions;$fpCanon;attrs=nodeAttrs"
     val fpEdges = s"edges-fused-v2;$fpMentions;$fpCanon;src=web+ledger"
 
+    // Stage-commit pipelining: independent stages run as concurrent
+    // Spark jobs (the scheduler interleaves their tasks), and each
+    // commit's lineage read-back + manifest land asynchronously off the
+    // critical path (GraphStore.awaitPending at the end; a kill leaves
+    // manifest-less corpses that resume recomputes — same guarantee).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    // Stage 3/4 input: the CC-derived canonicalization table depends
+    // only on the source tables — overlap it with extract+mentions.
+    val canonF = Future {
+      GraphStore.getOrCompute(spark, storeBase, "canonical_ids",
+        inputFp = fpCanon, lineageAsync = true) {
+        Corpus.canonicalIds(spark, sfDir)
+      }
+    }
+
     // Stage 1: extract (+ per-row audit vs the reference text column).
     // Explicit url-hash repartition happens BEFORE amplification: the
     // shuffle moves only the base corpus (replicas explode map-side in
     // place, 16× less shuffled bytes at mult=16) and per-page work stays
     // uniformly spread because replicas of a page are interchangeable.
     val extracted = GraphStore.getOrCompute(spark, storeBase, "extracted",
-        inputFp = fpExtract) {
+        inputFp = fpExtract, lineageAsync = true) {
       amplify(Corpus.pages(spark, sfDir)
           .repartition(partitions, xxhash64(col("url"))), mult)
         .select(
@@ -84,44 +102,44 @@ object Pipeline {
         .withColumn("text_hash", xxhash64(col("text")))
     }
     mark("extract")
-    val audit = extracted
-      .filter(col("text_hash") =!= col("ref_hash")).count()
-    mark("audit")
-    require(audit == 0, s"byte-identity audit failed on $audit pages")
+    // Audit overlaps with the mentions stage (both read `extracted`).
+    val auditF = Future {
+      extracted.filter(col("text_hash") =!= col("ref_hash")).count()
+    }
 
     // Stage 2: mentions (broadcast trie; fact side never shuffles).
     val mentions = GraphStore.getOrCompute(spark, storeBase, "mentions",
-        inputFp = fpMentions) {
+        inputFp = fpMentions, lineageAsync = true) {
       Linker.mentions(extracted.select("url", "text"), Corpus.aliasDict(spark, sfDir))
     }
-
-    // Stage 3/4: CC-derived canonicalization table (small, broadcast).
     mark("mentions")
-    val canon = GraphStore.getOrCompute(spark, storeBase, "canonical_ids",
-        inputFp = fpCanon) {
-      Corpus.canonicalIds(spark, sfDir)
-    }
-
+    val audit = Await.result(auditF, Duration.Inf)
+    require(audit == 0, s"byte-identity audit failed on $audit pages")
+    val canon = Await.result(canonF, Duration.Inf)
     mark("canon_cc")
-    val triples = GraphStore.getOrCompute(spark, storeBase, "triples",
-        inputFp = fpTriples) {
-      Triples.extract(mentions, canon)
+
+    // Triples is a reporting artifact (edges re-derive with evidence),
+    // so it runs concurrently with the nodes stage.
+    val triplesF = Future {
+      GraphStore.getOrCompute(spark, storeBase, "triples",
+        inputFp = fpTriples, lineageAsync = true) {
+        Triples.extract(mentions, canon)
+      }
     }
-    mark("triples")
     // Typed nodes (golden schema: props, props_arr, embedding), written
     // directory-partitioned by id-hash bucket so downstream readers prune.
     val nodes = GraphStore.getOrCompute(spark, storeBase, "nodes",
-        partitionByCols = Seq("bucket"), inputFp = fpNodes) {
+        partitionByCols = Seq("bucket"), inputFp = fpNodes, lineageAsync = true) {
       Triples.nodesTyped(Triples.nodes(mentions, canon), Corpus.nodeAttrs(spark, sfDir))
         .withColumn("bucket", pmod(xxhash64(col("id")), lit(32)))
     }
+    mark("nodes")
     // Edges: multi-source fusion (web co-mentions + order ledger —
     // sources/evidence set-union, reference ppi_adapter.py:1268-1303),
     // then skip-bad-relationships at the sink (reference
     // biocypher_config skip_bad_relationships) = endpoints must exist.
-    mark("nodes")
     val edges = GraphStore.getOrCompute(spark, storeBase, "edges",
-        partitionByCols = Seq("bucket"), inputFp = fpEdges) {
+        partitionByCols = Seq("bucket"), inputFp = fpEdges, lineageAsync = true) {
       import graft.merge.MergeSources
       val fused = MergeSources.mergeAll(
         Seq(Triples.extractEvidence(mentions, canon),
@@ -143,11 +161,14 @@ object Pipeline {
           col("properties"))
         .withColumn("bucket", pmod(xxhash64(col("subject_id")), lit(32)))
     }
-
     mark("edges")
+
+    Await.result(triplesF, Duration.Inf)
     val nTriples = edges.count()
     val nNodes = nodes.count()
     val nPages = extracted.count()
+    GraphStore.awaitPending()
+    mark("finalize")
     val secs = (System.nanoTime() - t0) / 1e9
     Result(nPages, nTriples, nNodes, audit, secs, nTriples / secs, nPages / secs)
   }

@@ -23,6 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object GraphStore {
 
+  /** In-flight asynchronous lineage/manifest jobs (stage-commit
+    * pipelining): the data files are written synchronously, the
+    * lineage read-back + manifest commit run concurrently with
+    * downstream stages. Await before treating the run as committed. */
+  private val pending =
+    new java.util.concurrent.ConcurrentLinkedQueue[scala.concurrent.Future[Long]]()
+
+  /** Block until every in-flight lineage/manifest job has committed
+    * (call at end-of-run; a kill before this leaves manifest-less
+    * corpses that resume safely recomputes). */
+  def awaitPending(): Unit = {
+    import scala.concurrent.duration.Duration
+    var f = pending.poll()
+    while (f != null) {
+      scala.concurrent.Await.result(f, Duration.Inf)
+      f = pending.poll()
+    }
+  }
+
   private def stageDir(base: String, stage: String): Path =
     Paths.get(base, s"stage=$stage")
 
@@ -62,7 +81,8 @@ object GraphStore {
     * manifests + params); resume compares it before reusing a snapshot.
     * Returns the new snapshot id. */
   def commit(spark: SparkSession, base: String, stage: String, df: DataFrame,
-             partitionByCols: Seq[String] = Nil, inputFp: String = ""): Long = {
+             partitionByCols: Seq[String] = Nil, inputFp: String = "",
+             lineageAsync: Boolean = false): Long = {
     val next = latestSnapshot(base, stage) + 1
     val dir = snapDir(base, stage, next)
     val t0 = System.nanoTime()
@@ -79,35 +99,46 @@ object GraphStore {
 
     // Lineage from the *committed* files (what a resume would read):
     // spark_partition_id of the re-scan + order-insensitive hash fold.
-    val written = spark.read.parquet(dataPath)
-    // xxhash64 rejects MAP columns (undefined map ordering); hash the rest
-    val hashable = written.schema.fields
-      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
-      .map(f => col(f.name))
-    val rowHash = if (hashable.nonEmpty) xxhash64(hashable: _*) else lit(0L)
-    val elapsedMs = (System.nanoTime() - t0) / 1000000
-    // ONE read-back pass: the lineage aggregation also yields the total
-    // row count for the manifest (stage commits were IO-bound with a
-    // separate count() pass — measured as the pipeline's Amdahl floor).
-    val lineage = written
-      .groupBy(spark_partition_id().as("partition_id"))
-      .agg(bit_xor(rowHash).as("input_hash"), count(lit(1)).as("row_counts"))
-      .withColumn("stage", lit(stage))
-      .withColumn("snapshot", lit(next))
-      .withColumn("stage_ms", lit(elapsedMs))
-      .select("stage", "snapshot", "partition_id", "input_hash", "row_counts", "stage_ms")
-      .localCheckpoint(true)
-    val totalRows = lineage.agg(sum(col("row_counts"))).head().getLong(0)
-    lineage.coalesce(1).write.mode("overwrite").parquet(dir.resolve("lineage").toString)
+    // The manifest is only written AFTER lineage, so the snapshot stays
+    // invisible (a recomputable corpse) if anything dies in between —
+    // which is what makes lineageAsync safe: it only moves this
+    // read-back off the critical path, never the commit guarantee.
+    def finishCommit(): Long = {
+      val written = spark.read.parquet(dataPath)
+      // xxhash64 rejects MAP columns (undefined map ordering); hash the rest
+      val hashable = written.schema.fields
+        .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        .map(f => col(f.name))
+      val rowHash = if (hashable.nonEmpty) xxhash64(hashable: _*) else lit(0L)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      // ONE read-back pass: the lineage aggregation also yields the total
+      // row count for the manifest (stage commits were IO-bound with a
+      // separate count() pass — measured as the pipeline's Amdahl floor).
+      val lineage = written
+        .groupBy(spark_partition_id().as("partition_id"))
+        .agg(bit_xor(rowHash).as("input_hash"), count(lit(1)).as("row_counts"))
+        .withColumn("stage", lit(stage))
+        .withColumn("snapshot", lit(next))
+        .withColumn("stage_ms", lit(elapsedMs))
+        .select("stage", "snapshot", "partition_id", "input_hash", "row_counts", "stage_ms")
+        .localCheckpoint(true)
+      val totalRows = lineage.agg(sum(col("row_counts"))).head().getLong(0)
+      lineage.coalesce(1).write.mode("overwrite").parquet(dir.resolve("lineage").toString)
 
-    // Atomic commit: manifest written to a temp name, then renamed.
-    val manifest =
-      s"""{"stage":"$stage","snapshot":$next,"rows":$totalRows,""" +
-        s""""committed_ms":$elapsedMs,"input_fp":"$inputFp"}"""
-    val tmp = dir.resolve(".manifest.tmp")
-    Files.writeString(tmp, manifest)
-    Files.move(tmp, dir.resolve("manifest.json"), StandardCopyOption.ATOMIC_MOVE)
-    next
+      // Atomic commit: manifest written to a temp name, then renamed.
+      val manifest =
+        s"""{"stage":"$stage","snapshot":$next,"rows":$totalRows,""" +
+          s""""committed_ms":$elapsedMs,"input_fp":"$inputFp"}"""
+      val tmp = dir.resolve(".manifest.tmp")
+      Files.writeString(tmp, manifest)
+      Files.move(tmp, dir.resolve("manifest.json"), StandardCopyOption.ATOMIC_MOVE)
+      next
+    }
+    if (lineageAsync) {
+      import scala.concurrent.ExecutionContext.Implicits.global
+      pending.add(scala.concurrent.Future(finishCommit()))
+      next
+    } else finishCommit()
   }
 
   /** Read the latest committed snapshot of `stage`; None if never
@@ -132,15 +163,18 @@ object GraphStore {
     * silently resuming wrong data. This is the per-stage checkpoint the
     * north rule requires. */
   def getOrCompute(spark: SparkSession, base: String, stage: String,
-                   partitionByCols: Seq[String] = Nil, inputFp: String = "")
+                   partitionByCols: Seq[String] = Nil, inputFp: String = "",
+                   lineageAsync: Boolean = false)
                   (f: => DataFrame): DataFrame = {
     val fresh = committedFingerprint(base, stage).contains(inputFp)
     if (fresh) readLatest(spark, base, stage).get
     else {
       if (committedFingerprint(base, stage).isDefined)
         println(s"[store] stage=$stage input fingerprint changed — recomputing")
-      commit(spark, base, stage, f, partitionByCols, inputFp)
-      readLatest(spark, base, stage).get
+      val next = commit(spark, base, stage, f, partitionByCols, inputFp, lineageAsync)
+      // Read the just-written snapshot by path: with lineageAsync the
+      // manifest may not have landed yet, but the data files have.
+      spark.read.parquet(snapDir(base, stage, next).resolve("data").toString)
     }
   }
 }
