@@ -118,12 +118,19 @@ object Pipeline {
     val canon = Await.result(canonF, Duration.Inf)
     mark("canon_cc")
 
+    // Shared intermediate: per-page canonical entity sets — computed
+    // (scan + group of the big mentions table) ONCE, consumed by both
+    // the triple and the evidence/edge stages.
+    val pageSets = GraphStore.getOrCompute(spark, storeBase, "pagesets",
+        inputFp = s"pagesets-v1;$fpMentions;$fpCanon", lineageAsync = true) {
+      Triples.perPageEntitySets(mentions, canon)
+    }
     // Triples is a reporting artifact (edges re-derive with evidence),
     // so it runs concurrently with the nodes stage.
     val triplesF = Future {
       GraphStore.getOrCompute(spark, storeBase, "triples",
         inputFp = fpTriples, lineageAsync = true) {
-        Triples.extract(mentions, canon)
+        Triples.extractFromSets(pageSets, canon)
       }
     }
     // Typed nodes (golden schema: props, props_arr, embedding), written
@@ -142,7 +149,7 @@ object Pipeline {
         partitionByCols = Seq("bucket"), inputFp = fpEdges, lineageAsync = true) {
       import graft.merge.MergeSources
       val fused = MergeSources.mergeAll(
-        Seq(Triples.extractEvidence(mentions, canon),
+        Seq(Triples.evidenceFromSets(pageSets, canon),
           Corpus.ledgerEdges(spark, sfDir, canon)),
         keys = Seq("subject_id", "relation_label", "object_id"),
         rules = Seq(

@@ -34,8 +34,11 @@ object Triples {
     * has probability ~E²/2^65 — negligible at any realistic dictionary
     * and corpus size.)
     *
-    * Output: (u, url, cs, ps, ns) — canonical-hash sets per page. */
-  private def perPageEntitySets(mentions: DataFrame, canon: DataFrame): DataFrame = {
+    * Output: (u, url, cs, ps, ns) — canonical-hash sets per page.
+    * Public so the pipeline can commit it ONCE and feed both
+    * [[extractFromSets]] and [[evidenceFromSets]] (the triple and edge
+    * stages would otherwise each re-scan and re-group the mentions). */
+  def perPageEntitySets(mentions: DataFrame, canon: DataFrame): DataFrame = {
     val cmap = broadcast(Canonicalize.rank1(canon).select(
       xxhash64(col("raw_id")).as("e"),
       xxhash64(col("canonical_id")).as("ce")))
@@ -68,10 +71,14 @@ object Triples {
     Canonicalize.rank1(canon).select(col("canonical_id")).distinct()
       .select(xxhash64(col("canonical_id")).as("ce"), col("canonical_id"))
 
-  def extract(mentions: DataFrame, canon: DataFrame): DataFrame = {
+  def extract(mentions: DataFrame, canon: DataFrame): DataFrame =
+    extractFromSets(perPageEntitySets(mentions, canon), canon)
+
+  /** [[extract]] over precomputed per-page entity sets. */
+  def extractFromSets(pageSets: DataFrame, canon: DataFrame): DataFrame = {
     // Second (and last) shuffle: distinct on 8-byte triple keys, with
     // map-side partial dedup collapsing duplicate pages' pairs.
-    val keys = relationPairs(perPageEntitySets(mentions, canon))
+    val keys = relationPairs(pageSets)
       .select("se", "relation_label", "oe").distinct()
     val dim = broadcast(canonDim(canon))
     keys
@@ -81,15 +88,24 @@ object Triples {
   }
 
   /** Node emission: distinct canonical entities with label + name prop
-    * (reference node tuple (id, label, props) — SURVEY.md §2.10). */
+    * (reference node tuple (id, label, props) — SURVEY.md §2.10).
+    * Same hashed-key discipline as [[extract]]: the one wide aggregation
+    * groups on the 8-byte canonical hash (+ label), never on entity-id
+    * strings; a pre-distinct is unnecessary because min(name) already
+    * collapses duplicates in the same shuffle. */
   def nodes(mentions: DataFrame, canon: DataFrame): DataFrame = {
-    val ents = mentions
-      .select(col("entity_id"), col("entity_label").as("label"), col("alias").as("name"))
-      .distinct()
-    Canonicalize.canonicalize(ents, "entity_id", canon)
-      .groupBy(col("entity_id").as("id"), col("label"))
+    val cmap = broadcast(Canonicalize.rank1(canon).select(
+      xxhash64(col("raw_id")).as("e"),
+      xxhash64(col("canonical_id")).as("ce")))
+    mentions
+      .select(xxhash64(col("entity_id")).as("e"),
+        col("entity_label").as("label"), col("alias").as("name"))
+      .join(cmap, "e")
+      .groupBy("ce", "label")
       .agg(min("name").as("name"))
-      .select(col("id"), col("label"), map(lit("name"), col("name")).as("props"))
+      .join(broadcast(canonDim(canon)), "ce")
+      .select(col("canonical_id").as("id"), col("label"),
+        map(lit("name"), col("name")).as("props"))
   }
 
   /** Edge extraction KEEPING per-edge evidence: same relation rules as
@@ -99,13 +115,17 @@ object Triples {
     * ppi_adapter.py:1268-1303) plus a support count.
     * Output: (subject_id, relation_label, object_id, sources, evidence,
     * n_pages). */
-  def extractEvidence(mentions: DataFrame, canon: DataFrame): DataFrame = {
+  def extractEvidence(mentions: DataFrame, canon: DataFrame): DataFrame =
+    evidenceFromSets(perPageEntitySets(mentions, canon), canon)
+
+  /** [[extractEvidence]] over precomputed per-page entity sets. */
+  def evidenceFromSets(pageSets: DataFrame, canon: DataFrame): DataFrame = {
     // Same one-scan/one-group shape as extract; the url payload (needed
     // for the witness list) is the only string in the wide shuffles.
     // ONE aggregation: the witness count is the size of the collected
     // set (countDistinct alongside collect_set would plan an Expand,
     // doubling the aggregation input).
-    val edges = relationPairs(perPageEntitySets(mentions, canon))
+    val edges = relationPairs(pageSets)
       .groupBy("se", "relation_label", "oe")
       .agg(array_sort(collect_set(col("url"))).as("ev"))
       .select(col("se"), col("relation_label"), col("oe"),
