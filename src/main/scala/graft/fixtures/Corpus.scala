@@ -234,6 +234,49 @@ object Corpus {
       .withColumn("sources", lit("ledger"))
   }
 
+  /** Supplier and region typed nodes + their ledger-derived edges —
+    * KG layers with no text-mention source (the reference likewise has
+    * adapters that are purely relational: SURVEY §2.3 link tables).
+    *   supplier  (SUPP:k)   props: name, nation
+    *   region    (REGION:k) props: name
+    *   supplies  (SUPP -> PART canonical) with line count
+    *   in_region (NATION -> REGION)
+    */
+  def supplierNodes(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "supplier").select(
+      concat(lit("SUPP:"), col("s_suppkey")).as("id"),
+      lit("supplier").as("label"),
+      map(lit("name"), col("s_name"),
+        lit("nation"), col("s_nationkey").cast("string")).as("props"))
+
+  def regionNodes(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "region").select(
+      concat(lit("REGION:"), col("r_regionkey")).as("id"),
+      lit("region").as("label"),
+      map(lit("name"), col("r_name")).as("props"))
+
+  /** (SUPP, supplies, PART-canonical) edges with per-edge line counts,
+    * canonicalized through the same rank-1 broadcast map. */
+  def supplyEdges(spark: SparkSession, sfDir: String,
+                  canonTable: DataFrame): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val canon = graft.canon.Canonicalize.rank1(canonTable)
+    li.select(
+        concat(lit("SUPP:"), col("l_suppkey")).as("subject_id"),
+        lit("supplies").as("relation_label"),
+        concat(lit("PARTRAW:"), col("l_partkey")).as("raw_object"))
+      .join(broadcast(canon), col("raw_object") === col("raw_id"))
+      .groupBy(col("subject_id"), col("relation_label"),
+        col("canonical_id").as("object_id"))
+      .agg(count(lit(1)).as("n_lines"))
+  }
+
+  def inRegionEdges(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "nation").select(
+      concat(lit("NATION:"), col("n_nationkey")).as("subject_id"),
+      lit("in_region").as("relation_label"),
+      concat(lit("REGION:"), col("n_regionkey")).as("object_id"))
+
   /** Same-name chain edges over parts: consecutive partkeys within each
     * p_name group, i.e. a path graph per name (NOT a clique) — the
     * connected-components stage must actually propagate labels along

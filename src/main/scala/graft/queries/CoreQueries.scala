@@ -141,6 +141,22 @@ object CoreQueries {
           coalesce(col("n_pages"), lit(0L)).as("n_pages"),
           coalesce(col("n_lines"), lit(0L)).as("n_lines"))
     }),
+    // Purely relational KG layers (no text-mention source — the
+    // reference's link-table adapters): typed supplier/region nodes and
+    // supplies/in_region edges, canonicalized through the same map.
+    "q_supply_edges" -> ((s, dir) => {
+      tune(s)
+      Corpus.supplyEdges(s, dir, Corpus.canonicalIds(s, dir))
+    }),
+    "q_typed_layers" -> ((s, dir) => {
+      tune(s)
+      Corpus.supplierNodes(s, dir).unionByName(Corpus.regionNodes(s, dir))
+        .select(col("id"), col("label"), col("props")("name").as("name"))
+        .unionByName(Corpus.inRegionEdges(s, dir)
+          .select(col("subject_id").as("id"),
+            col("relation_label").as("label"),
+            col("object_id").as("name")))
+    }),
     // Node emission (id, label, name) — map props checked rows-only
     // elsewhere; here the flat projection is oracle-checked.
     "q_nodes" -> ((s, dir) => {
@@ -333,6 +349,21 @@ object CoreQueries {
     "q_mentions_ranked" -> mentionsRankedSql,
     "q_nodes_props" -> nodesPropsSql,
     "q_edges_props" -> edgesPropsSql,
+    "q_supply_edges" ->
+      """WITH pc AS (
+        |  SELECT p_partkey,
+        |         'PART:' || replace(min('PARTRAW:' || p_partkey) OVER (PARTITION BY p_name), 'PARTRAW:', '') AS pid
+        |  FROM part)
+        |SELECT 'SUPP:' || l.l_suppkey subject_id, 'supplies' relation_label,
+        |       pc.pid object_id, count(*) n_lines
+        |FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_typed_layers" ->
+      """SELECT 'SUPP:' || s_suppkey id, 'supplier' AS "label", s_name "name" FROM supplier
+        |UNION ALL
+        |SELECT 'REGION:' || r_regionkey, 'region', r_name FROM region
+        |UNION ALL
+        |SELECT 'NATION:' || n_nationkey, 'in_region', 'REGION:' || n_regionkey FROM nation""".stripMargin,
     "q_pages_text" -> (pageTextSql.replace("AS text", "AS text, 'en' AS lang")),
     "q_extract_text" -> pageTextSql,
     "q_link_dict" ->

@@ -45,7 +45,11 @@ object KgSchema {
       Map("name" -> PStr, "brand" -> PStr, "type" -> PStr, "size" -> PStr,
         "sizes" -> PStrArr, "embedding" -> PFloatArr)),
     "nation" -> NodeType("nation", "NATION:",
-      Map("name" -> PStr, "region" -> PStr)))
+      Map("name" -> PStr, "region" -> PStr)),
+    "supplier" -> NodeType("supplier", "SUPP:",
+      Map("name" -> PStr, "nation" -> PStr)),
+    "region" -> NodeType("region", "REGION:",
+      Map("name" -> PStr)))
 
   /** Edge types with endpoint-label constraints
     * (schema_config.yaml:208-231 pattern). Fused multi-source props
@@ -58,7 +62,11 @@ object KgSchema {
       Map("sources" -> PStr, "evidence" -> PStr,
         "n_pages" -> PInt, "n_lines" -> PInt)),
     "co_ordered_with" -> EdgeType("co_ordered_with", "product", "product",
-      Map("sources" -> PStr)))
+      Map("sources" -> PStr)),
+    "supplies" -> EdgeType("supplies", "supplier", "product",
+      Map("n_lines" -> PInt)),
+    "in_region" -> EdgeType("in_region", "nation", "region",
+      Map.empty))
 
   /** The scalar-prop keys a label may carry in its `props` map. */
   private def scalarKeys(label: String): Seq[String] =

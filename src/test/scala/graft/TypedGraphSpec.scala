@@ -64,6 +64,20 @@ class TypedGraphSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_pages") > 0 && r.getAs[Long]("n_lines") > 0)
   }
 
+  test("supplier/region layers conform to the widened type system") {
+    val sup = Corpus.supplierNodes(spark, TestSpark.sf0001)
+    val reg = Corpus.regionNodes(spark, TestSpark.sf0001)
+    assert(KgSchema.nodeViolations(sup.unionByName(reg)).isEmpty)
+    val supplies = Corpus.supplyEdges(spark, TestSpark.sf0001,
+      Corpus.canonicalIds(spark, TestSpark.sf0001))
+    val inRegion = Corpus.inRegionEdges(spark, TestSpark.sf0001)
+    assert(KgSchema.edgeViolations(
+      supplies.select("subject_id", "relation_label", "object_id")
+        .unionByName(inRegion)).isEmpty)
+    // supplies objects are CANONICAL part ids (rank-1 map applied)
+    assert(supplies.filter(!$"object_id".startsWith("PART:")).count() == 0)
+  }
+
   test("taxon-checked canonicalization maps a symbol only under its organism") {
     // symbol CDC42 exists for human (9606) and yeast (4932) with different
     // canonical targets (the ppi_adapter.py:478-509 guard).
