@@ -1,6 +1,6 @@
 package graft.canon
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -35,10 +35,6 @@ object Canonicalize {
       .drop(idCol, "raw_id")
       .withColumnRenamed("canonical_id", idCol)
   }
-
-  /** Column-expression variant when the mapping is already rank-resolved. */
-  def lookup(resolved: DataFrame, idCol: Column): (DataFrame, Column) =
-    (broadcast(resolved), idCol)
 
   /** Taxon-checked canonicalization (the reference's organism-guarded
     * map probe, ppi_adapter.py:478-509: a symbol resolves only when the
