@@ -1,0 +1,100 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.textops.TextOps
+
+/** IVF-style approximate nearest neighbor: a k-means coarse quantizer
+  * partitions the corpus into C inverted lists; a query scores only the
+  * lists of its `nprobe` nearest centroids.
+  *
+  * Scale shape: centroids are a dimension (C × dim doubles) that lives
+  * on the driver/broadcast; assignment and probing are map-side
+  * expressions; the only shuffle is the candidate equi-join on the
+  * centroid id. At 10^12 rows the assigned corpus is written
+  * partitioned by `cid`, so a probe reads nprobe/C of the data — the
+  * partition-pruning analogue of FAISS's inverted lists.
+  *
+  * Training determinism: seeds are the C lowest-id vectors and
+  * iteration count is fixed; centroid means are distributed float
+  * averages, so training is deterministic up to float summation order
+  * (assignment ties break on the first minimum). Recall is spec-gated
+  * against brute force on the 64-dim fixture.
+  */
+object Ivf {
+
+  /** Squared L2 distance from `emb` to a centroid literal. */
+  private def sqDist(emb: Column, ct: Array[Double]): Column =
+    ct.zipWithIndex.map { case (v, d) =>
+      val diff = element_at(emb, d + 1).cast("double") - lit(v)
+      diff * diff
+    }.reduce(_ + _)
+
+  private def distArray(emb: Column, cents: Array[Array[Double]]): Column =
+    array(cents.map(ct => sqDist(emb, ct)): _*)
+
+  /** 1-based argmin over the distance array (first minimum wins). */
+  private def argmin(emb: Column, cents: Array[Array[Double]]): Column =
+    TextOps.let(distArray(emb, cents),
+      a => array_position(a, array_min(a)).cast("int"))
+
+  /** Deterministically-seeded k-means over (id, emb). Returns C
+    * centroids after `iters` Lloyd rounds (empty clusters keep their
+    * previous centroid). */
+  def trainCentroids(corpus: DataFrame, dim: Int, c: Int,
+                     iters: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = corpus.orderBy(col("id")).limit(c)
+      .select(col("emb")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(cents.length == c, s"corpus smaller than c=$c")
+    val meanCols = (0 until dim).map(d =>
+      avg(element_at(col("emb"), d + 1).cast("double")).as(s"m$d"))
+    for (_ <- 0 until iters) {
+      val updated = corpus
+        .select(col("emb"), argmin(col("emb"), cents).as("cid"))
+        .groupBy("cid")
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (0 until dim).map(d => r.getDouble(d + 1)).toArray)
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        updated.getOrElse(j + 1, old) // array_position is 1-based
+      }
+    }
+    cents
+  }
+
+  /** IVF approximate cosine top-k over `corpus` (id, emb): train (or
+    * reuse) centroids, assign inverted lists, probe the `nprobe`
+    * nearest lists per query, score candidates exactly. */
+  def ivfTopK(corpus: DataFrame, dim: Int, k: Int,
+              c: Int = 16, iters: Int = 5, nprobe: Int = 8,
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(trainCentroids(corpus, dim, c, iters))
+    val assigned = corpus.select(col("id").as("neighbor_id"),
+      argmin(col("emb"), cents).as("cid"))
+    // nprobe nearest centroid ids per query: sort (dist, idx) structs
+    // lexicographically, slice, project the idx field.
+    val probeIds = TextOps.let(distArray(col("emb"), cents), a =>
+      transform(
+        slice(array_sort(transform(sequence(lit(0), lit(cents.length - 1)),
+          j => struct(element_at(a, j + 1).as("d"), j.as("i")))), 1, nprobe),
+        s => s.getField("i") + 1))
+    val probes = corpus
+      .select(col("id").as("vec_id"), explode(probeIds).as("cid"))
+    val cand = probes.join(assigned, "cid")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select("vec_id", "neighbor_id")
+      .distinct()
+    val nrm = corpus.select(col("id"), col("emb"), Knn.norm(col("emb")).as("n"))
+    val scored = cand
+      .join(nrm.select(col("id").as("vec_id"), col("emb").as("qe"), col("n").as("qn")), "vec_id")
+      .join(nrm.select(col("id").as("neighbor_id"), col("emb").as("ce"), col("n").as("cn")), "neighbor_id")
+      .withColumn("sim", Knn.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "rank", "neighbor_id")
+  }
+}

@@ -105,6 +105,32 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"multi-table+probe LSH recall: $recall")
   }
 
+  test("IVF knn recall >= 0.8 vs brute force on the 64-dim fixture") {
+    val corpus = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val brute = Knn.bruteForceTopK(corpus, corpus, 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = graft.sim.Ivf.ivfTopK(corpus, dim = 64, k = 5,
+        c = 16, iters = 5, nprobe = 8)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF(nprobe=8/16) recall: $recall")
+  }
+
+  test("IVF inverted lists cover the corpus; probes bound candidate work") {
+    val corpus = Corpus64.df(spark)
+    val cents = graft.sim.Ivf.trainCentroids(corpus, dim = 64, c = 8, iters = 3)
+    assert(cents.length == 8 && cents.forall(_.length == 64))
+    // nprobe=1 still returns a ranking for every query (its own cell
+    // has at least the seed members); nprobe=c equals exact brute force
+    val full = graft.sim.Ivf.ivfTopK(corpus, 64, 3, c = 8, iters = 3,
+      nprobe = 8, centroids = Some(cents))
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = Knn.bruteForceTopK(corpus, corpus, 3)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == brute, "nprobe = C must equal exact search")
+  }
+
   test("autoPlanes bounds expected bucket size by corpus scale") {
     assert(Knn.autoPlanes(1000L, 1024L) == 4) // floor
     assert(Knn.autoPlanes(1L << 20, 1024L) == 10)
