@@ -102,10 +102,12 @@ object Pipeline {
         .withColumn("text_hash", xxhash64(col("text")))
     }
     mark("extract")
-    // Audit overlaps with the mentions stage (both read `extracted`).
-    val auditF = Future {
-      extracted.filter(col("text_hash") =!= col("ref_hash")).count()
-    }
+    // Audit gates the mentions stage: a corrupt extraction must fail
+    // BEFORE a downstream snapshot derived from it can be committed and
+    // resumed (the audit is a two-int64-column scan of the committed
+    // parquet — cheap relative to the stage it guards).
+    val audit = extracted.filter(col("text_hash") =!= col("ref_hash")).count()
+    require(audit == 0, s"byte-identity audit failed on $audit pages")
 
     // Stage 2: mentions (broadcast trie; fact side never shuffles).
     val mentions = GraphStore.getOrCompute(spark, storeBase, "mentions",
@@ -113,8 +115,6 @@ object Pipeline {
       Linker.mentions(extracted.select("url", "text"), Corpus.aliasDict(spark, sfDir))
     }
     mark("mentions")
-    val audit = Await.result(auditF, Duration.Inf)
-    require(audit == 0, s"byte-identity audit failed on $audit pages")
     val canon = Await.result(canonF, Duration.Inf)
     mark("canon_cc")
 

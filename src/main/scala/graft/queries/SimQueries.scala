@@ -65,20 +65,28 @@ object SimQueries {
       s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
   private val knnLshSql: String = {
-    val dim = 64; val k = 5; val nPlanes = 6; val nTables = 8
+    val dim = 64; val k = 5; val nPlanes = 6; val nTables = 8; val maxBucket = 4096
     val sigArms = (0 until nTables).map(t =>
       s"SELECT vec_id, $t tbl, ${lshSigSql(dim, nPlanes, t)} sig FROM c")
       .mkString("\n  UNION ALL\n  ")
     val probeList = ("sig" +: (0 until nPlanes).map(j => s"xor(sig, ${1L << j})"))
       .mkString("[", ", ", "]")
+    // corp mirrors lshTopK's corpus-side per-bucket cap (row_number by
+    // id, keep <= maxBucket) so the oracle models the truncation instead
+    // of silently relying on fixture buckets staying under the cap.
     s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
        |sigs AS (
        |  $sigArms),
+       |corp AS (
+       |  SELECT vec_id, tbl, sig FROM (
+       |    SELECT vec_id, tbl, sig,
+       |           row_number() OVER (PARTITION BY tbl, sig ORDER BY vec_id) rn
+       |    FROM sigs) WHERE rn <= $maxBucket),
        |probes AS (
        |  SELECT vec_id, tbl, unnest($probeList) psig FROM sigs),
        |cand AS (
        |  SELECT DISTINCT p.vec_id, s.vec_id neighbor_id
-       |  FROM probes p JOIN sigs s
+       |  FROM probes p JOIN corp s
        |    ON s.tbl = p.tbl AND s.sig = p.psig AND s.vec_id <> p.vec_id),
        |scored AS (
        |  SELECT cd.vec_id, cd.neighbor_id,

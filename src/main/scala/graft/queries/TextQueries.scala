@@ -174,6 +174,8 @@ object TextQueries {
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
         |SELECT min(doc_id) canonical_id, count(*) n_dups FROM d GROUP BY text""".stripMargin,
+    // Models the engine's maxDf=500 hot-shingle exclusion: shingles with
+    // df > 500 leave the universe entirely (both `common` and sizes).
     "q_ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents
@@ -186,10 +188,14 @@ object TextQueries {
         |         || ' ' || string_split(text,' ')[i+2])) shs
         |  FROM d WHERE len(string_split(text,' ')) >= 3),
         |inv AS (SELECT doc_id, unnest(shs) sh FROM s),
-        |sizes AS (SELECT doc_id, len(shs) sz FROM s),
+        |rinv AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) df FROM inv)
+        |  WHERE df <= 500),
+        |sizes AS (SELECT doc_id, count(*) sz FROM rinv GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id id1, b.doc_id id2, count(*) common
-        |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM rinv a JOIN rinv b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT p.id1, p.id2, p.common, s1.sz size1, s2.sz size2
         |FROM pairs p JOIN sizes s1 ON s1.doc_id = p.id1

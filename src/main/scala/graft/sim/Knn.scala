@@ -124,11 +124,16 @@ object Knn {
     val querySide = sigged
       .select(col("id").as("vec_id"), col("tbl"), explode(probeSigs).as("sig"))
 
+    // Materialize the deduped candidate pairs, then release the cached
+    // signature table — repeated calls in one session (bench reps) must
+    // not accumulate cached partitions.
     val cand = querySide
       .join(corpusSide, Seq("tbl", "sig"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select("vec_id", "neighbor_id")
       .distinct()
+      .localCheckpoint(true)
+    sigged.unpersist(false)
 
     // Exact scoring of candidates only (same float path as brute force).
     val nrm = corpus.select(col("id"), col("emb"), norm(col("emb")).as("n"))

@@ -32,13 +32,24 @@ object GraphStore {
 
   /** Block until every in-flight lineage/manifest job has committed
     * (call at end-of-run; a kill before this leaves manifest-less
-    * corpses that resume safely recomputes). */
+    * corpses that resume safely recomputes). Every queued future is
+    * drained even when one fails — failures are aggregated into one
+    * exception instead of abandoning the rest of the queue un-awaited. */
   def awaitPending(): Unit = {
     import scala.concurrent.duration.Duration
+    val failures = scala.collection.mutable.ArrayBuffer.empty[Throwable]
     var f = pending.poll()
     while (f != null) {
-      scala.concurrent.Await.result(f, Duration.Inf)
+      try scala.concurrent.Await.result(f, Duration.Inf)
+      catch { case e: Throwable => failures += e }
       f = pending.poll()
+    }
+    if (failures.nonEmpty) {
+      val head = failures.head
+      failures.tail.foreach(head.addSuppressed)
+      throw new RuntimeException(
+        s"${failures.size} async commit(s) failed; first cause attached, " +
+          "rest suppressed", head)
     }
   }
 

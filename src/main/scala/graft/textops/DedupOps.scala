@@ -35,44 +35,58 @@ object DedupOps {
       .filter(size(col("shs")) > 0)
 
   /** Exact n-gram Jaccard pairs with similarity >= tau, via inverted
-    * index. `maxDf` drops shingles present in more than maxDf docs
-    * (stopword-gram guard at scale): a posting of d docs emits d·(d-1)/2
-    * pairs, so the default 500 caps any one shingle at ~125k pairs —
-    * a cap of 10^6 would let one hot shingle emit 5·10^11 pairs.
-    * Dropped hot shingles are counted and logged (never silent).
-    * Output: (id1, id2, common, size1, size2) — integers only; id1 < id2.
-    *
-    * Correctness note: dropping a shingle with df > maxDf only loses
-    * pairs whose ONLY evidence is near-stopword grams; tau-similar pairs
-    * share many shingles and survive (property-tested on the fixture). */
+    * index. `maxDf` excludes shingles present in more than maxDf docs
+    * from the WHOLE shingle universe (stopword-gram guard at scale): a
+    * posting of d docs emits d·(d-1)/2 pairs, so the default 500 caps
+    * any one shingle at ~125k pairs — a cap of 10^6 would let one hot
+    * shingle emit 5·10^11 pairs. Excluded shingles are removed from both
+    * the pair evidence (`common`) AND the per-doc sizes, so the filter
+    * is a consistent exact Jaccard over the retained universe — dropping
+    * them only from the numerator would silently deflate similarity for
+    * docs dominated by mid-frequency shingles. Exclusions are counted
+    * and logged (never silent), and the oracle SQL models the same cap.
+    * Output: (id1, id2, common, size1, size2) — integers only; id1 < id2. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, tau: Double, maxDf: Long = 500L): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, n)
-    val sizes = sets.select(col("doc_id"), size(col("shs")).as("sz"))
     val inv = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
     // One shuffle builds the posting list per shingle; pairs are then
     // emitted map-side from each posting (no self-join, no window sort).
-    // The df cap bounds the per-posting quadratic blowup (hot-shingle
-    // guard at scale — the cap drops only pathological stopword-grams).
-    // Persisted so the drop-count action and the pair emission share one
-    // inverted-index shuffle instead of recomputing it.
+    // Persisted so the hot-shingle action and the pair emission share
+    // one inverted-index shuffle; released once pairs are materialized.
     val allPostings = inv.groupBy("sh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDropped = allPostings.filter(size(col("ds")) > maxDf).count()
-    if (nDropped > 0)
-      println(s"[ngramJaccardPairs] dropped $nDropped hot shingles with df > $maxDf")
+    // Hot set is tiny by construction (only shingles with df > maxDf);
+    // materialized so it survives the unpersist below.
+    val hot = allPostings.filter(size(col("ds")) > maxDf)
+      .select(col("sh")).localCheckpoint(true)
+    val nHot = hot.count()
+    if (nHot > 0)
+      println(s"[ngramJaccardPairs] excluded $nHot hot shingles with df > $maxDf from the shingle universe")
     val postings = allPostings.filter(size(col("ds")) <= maxDf)
     val pairExpr = flatten(transform(
       sequence(lit(0), size(col("ds")) - 2),
       i => transform(
         slice(col("ds"), i + 2, size(col("ds")) - i - 1),
         d2 => struct(element_at(col("ds"), i + 1).as("id1"), d2.as("id2")))))
+    // Materialize the (aggregated, bounded) pair counts, then release
+    // the cached inverted index — repeated calls in one session must not
+    // accumulate cached partitions.
     val pairs = postings
       .select(explode(pairExpr).as("p"))
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("common"))
+      .localCheckpoint(true)
+    allPostings.unpersist(false)
+    // Retained-universe sizes: identical to the raw set sizes unless hot
+    // shingles exist, in which case each doc's size counts only shingles
+    // with df <= maxDf (broadcast anti-join against the tiny hot set).
+    val sizes =
+      if (nHot == 0) sets.select(col("doc_id"), size(col("shs")).as("sz"))
+      else inv.join(broadcast(hot), Seq("sh"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("sz"))
     pairs
       .join(sizes.select(col("doc_id").as("id1"), col("sz").as("size1")), "id1")
       .join(sizes.select(col("doc_id").as("id2"), col("sz").as("size2")), "id2")
