@@ -219,6 +219,11 @@ object Corpus {
     val o = table(spark, sfDir, "orders")
     val li = table(spark, sfDir, "lineitem")
     val canon = graft.canon.Canonicalize.rank1(canonTable)
+    // Bounded witness aggregation (BoundedAggs): lineitem rows are NOT
+    // distinct per url here, so `total` is the exact LINE count while
+    // `items` is the capped distinct url set — both reducer-bounded.
+    val topk = graft.functions.BoundedAggs.topKCount(
+      graft.triples.Triples.DefaultEvidenceCap)
     o.join(li, o("o_orderkey") === li("l_orderkey"))
       .select(
         concat(lit("CUST:"), col("o_custkey")).as("subject_id"),
@@ -228,9 +233,10 @@ object Corpus {
       .join(broadcast(canon), col("raw_object") === col("raw_id"))
       .groupBy(col("subject_id"), col("relation_label"),
         col("canonical_id").as("object_id"))
-      .agg(
-        concat_ws("|", array_sort(collect_set(col("url")))).as("evidence"),
-        count(lit(1)).as("n_lines"))
+      .agg(topk(col("url")).as("ev"))
+      .select(col("subject_id"), col("relation_label"), col("object_id"),
+        concat_ws("|", col("ev.items")).as("evidence"),
+        col("ev.total").as("n_lines"))
       .withColumn("sources", lit("ledger"))
   }
 

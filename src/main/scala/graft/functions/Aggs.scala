@@ -33,18 +33,22 @@ object Aggs {
 
   /** A5: middle-row pick — element at ceil(n/2) of the group sorted by
     * `order` (reference get_middle_row, drug_adapter.py:2248-2258; its
-    * group order was the earlier sort at :1363-1365, made explicit here). */
+    * group order was the earlier sort at :1363-1365, made explicit here).
+    * Returns the middle ROW of each group with `outCol` = its value —
+    * row_number against the group count, NO per-row list
+    * materialization: the old collect_list-over-window form copied the
+    * whole group's values into every row's buffer (O(n²) bytes per
+    * group — an OOM for one hot group at 10^12 rows); WindowExec's
+    * spillable row buffer bounds this form's memory. */
   def middleRow(df: DataFrame, keys: Seq[String], order: Seq[Column],
                 valueCol: String, outCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val lst = collect_list(col(valueCol)).over(w)
-    df.withColumn("__lst", lst)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
-      .filter(col("__rn") === 1)
-      .withColumn(outCol, element_at(col("__lst"), ceil(size(col("__lst")) / 2.0).cast("int")))
-      .drop("__lst", "__rn")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") === ceil(col("__n") / 2.0).cast("int"))
+      .withColumn(outCol, col(valueCol))
+      .drop("__rn", "__n")
   }
 
   /** A6: the tf-effect conflict lattice (tfgen_adapter.py:498-513):

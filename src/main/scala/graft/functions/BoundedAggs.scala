@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.expressions.UserDefinedFunction
+
+/** Bounded-memory grouped aggregation (the at-scale replacement for
+  * unbounded `collect_set`/`collect_list` witness buffers): a typed
+  * `Aggregator` whose state is capped at K elements no matter the group
+  * fan-in, plus an EXACT total row count kept separately.
+  *
+  * The reference buffers whole per-edge evidence lists in memory
+  * (ppi_adapter.py:1290-1299 pubmed lists); at 10^12 pages one popular
+  * edge's witness list is an OOM on a single reducer. Keeping the K
+  * lexicographically-smallest distinct witnesses (a deterministic,
+  * order-insensitive choice — no "first seen" partition dependence)
+  * plus the exact count preserves the queryable semantics (bounded
+  * provenance sample + true support) in O(K) state per group.
+  *
+  * State discipline: the kept set is exactly the K smallest DISTINCT
+  * values seen — an element evicted by K smaller ones can never
+  * re-enter (any later occurrence compares >= the current max), so
+  * dedup-among-kept is dedup-exact for the output. The `total` field
+  * counts every non-null input row (NOT distinct values): callers whose
+  * rows are pre-deduplicated per group (e.g. one row per witness url)
+  * get an exact distinct count; callers with duplicate rows get an
+  * exact row count (document which one you mean).
+  */
+object BoundedAggs {
+
+  /** Buffer/output: K smallest distinct strings (ascending) + exact
+    * non-null input row count. */
+  final case class TopKState(items: Array[String], total: Long)
+
+  /** Binary search insertion point in a sorted array; returns
+    * (index << 1) | (1 if exact match else 0). */
+  private def searchSorted(a: Array[String], n: Int, s: String): Int = {
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val c = a(mid).compareTo(s)
+      if (c == 0) return (mid << 1) | 1
+      else if (c < 0) lo = mid + 1
+      else hi = mid
+    }
+    lo << 1
+  }
+
+  final class TopKStringsAgg(k: Int)
+      extends Aggregator[String, TopKState, TopKState] {
+    require(k > 0, "cap must be positive")
+
+    override def zero: TopKState = TopKState(Array.empty, 0L)
+
+    override def reduce(b: TopKState, s: String): TopKState = {
+      if (s == null) return b
+      val items = b.items
+      val n = items.length
+      val total = b.total + 1
+      // Fast path once the buffer is full: anything >= the current max
+      // is either a duplicate of the max or can never be kept.
+      if (n >= k && items(n - 1).compareTo(s) <= 0) return TopKState(items, total)
+      val r = searchSorted(items, n, s)
+      if ((r & 1) == 1) return TopKState(items, total) // duplicate among kept
+      val idx = r >> 1
+      val outLen = math.min(n + 1, k)
+      val out = new Array[String](outLen)
+      System.arraycopy(items, 0, out, 0, idx)
+      out(idx) = s
+      System.arraycopy(items, idx, out, idx + 1, outLen - idx - 1)
+      TopKState(out, total)
+    }
+
+    override def merge(a: TopKState, c: TopKState): TopKState = {
+      val x = a.items; val y = c.items
+      val out = new Array[String](math.min(x.length + y.length, k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < x.length || j < y.length)) {
+        val cmp =
+          if (i >= x.length) 1
+          else if (j >= y.length) -1
+          else x(i).compareTo(y(j))
+        if (cmp < 0) { out(o) = x(i); i += 1; o += 1 }
+        else if (cmp > 0) { out(o) = y(j); j += 1; o += 1 }
+        else { out(o) = x(i); i += 1; j += 1; o += 1 }
+      }
+      TopKState(if (o == out.length) out else out.take(o), a.total + c.total)
+    }
+
+    override def finish(r: TopKState): TopKState = r
+    override def bufferEncoder: Encoder[TopKState] = Encoders.product[TopKState]
+    override def outputEncoder: Encoder[TopKState] = Encoders.product[TopKState]
+  }
+
+  /** Column-usable UDAF over a string column: struct(items, total). */
+  def topKCount(k: Int): UserDefinedFunction =
+    udaf(new TopKStringsAgg(k), Encoders.STRING)
+
+  /** Bounded variant of [[Aggs.pipeSetUnionAgg]]: set-union of
+    * '|'-joined multi-value strings capped at the K smallest distinct
+    * elements, emitted sorted. Null/empty inputs contribute nothing;
+    * an all-null group yields null (the reference's NaN), matching the
+    * unbounded rule. */
+  final class PipeSetUnionCappedAgg(k: Int)
+      extends Aggregator[String, TopKState, String] {
+    private val inner = new TopKStringsAgg(k)
+    override def zero: TopKState = inner.zero
+    override def reduce(b: TopKState, s: String): TopKState = {
+      if (s == null || s.isEmpty) return b
+      var acc = b
+      var start = 0
+      var i = 0
+      while (i <= s.length) {
+        if (i == s.length || s.charAt(i) == '|') {
+          if (i > start) acc = inner.reduce(acc, s.substring(start, i))
+          start = i + 1
+        }
+        i += 1
+      }
+      acc
+    }
+    override def merge(a: TopKState, c: TopKState): TopKState = inner.merge(a, c)
+    override def finish(r: TopKState): String =
+      if (r.items.isEmpty) null else r.items.mkString("|")
+    override def bufferEncoder: Encoder[TopKState] = Encoders.product[TopKState]
+    override def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  def pipeSetUnionCapped(k: Int): UserDefinedFunction =
+    udaf(new PipeSetUnionCappedAgg(k), Encoders.STRING)
+}

@@ -9,6 +9,68 @@ final case class DictEntry(alias: String, entityId: String, entityLabel: String)
 final case class Mention(url: String, pos: Int, alias: String,
                          entity_id: String, entity_label: String)
 
+/** Open-addressed primitive long->int hash map (linear probing, power-
+  * of-two capacity, load factor 1/2). The trie's transition table is
+  * the hottest lookup in the engine — `java.util.HashMap[Long,Integer]`
+  * boxes every key and value and pointer-chases per probe, which is
+  * both a GC-heavy broadcast at a 10^7-alias dictionary and a memory-
+  * bandwidth tax on every page token. Two flat arrays, zero boxing.
+  *
+  * Keys must be >= 0 (state<<32|tokenId always is); EMPTY slots hold -1.
+  */
+final class LongIntHash(initialCapacity: Int) extends Serializable {
+  private var cap = Integer.highestOneBit(math.max(16, initialCapacity * 2) - 1) << 1
+  private var mask = cap - 1
+  private var keys = Array.fill[Long](cap)(-1L)
+  private var vals = new Array[Int](cap)
+  private var n = 0
+
+  def size: Int = n
+
+  private def slot(k: Long): Int = {
+    val h = k * 0x9E3779B97F4A7C15L
+    ((h ^ (h >>> 32)).toInt) & mask
+  }
+
+  /** Value for `k`, or -1 if absent. */
+  def get(k: Long): Int = {
+    var i = slot(k)
+    while (true) {
+      val kk = keys(i)
+      if (kk == k) return vals(i)
+      if (kk == -1L) return -1
+      i = (i + 1) & mask
+    }
+    -1
+  }
+
+  def put(k: Long, v: Int): Unit = {
+    require(k >= 0, "negative keys collide with the EMPTY sentinel")
+    if ((n + 1) * 2 > cap) grow()
+    var i = slot(k)
+    while (keys(i) != -1L && keys(i) != k) i = (i + 1) & mask
+    if (keys(i) == -1L) n += 1
+    keys(i) = k
+    vals(i) = v
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals
+    cap <<= 1; mask = cap - 1
+    keys = Array.fill[Long](cap)(-1L)
+    vals = new Array[Int](cap)
+    var i = 0
+    while (i < ok.length) {
+      if (ok(i) != -1L) {
+        var j = slot(ok(i))
+        while (keys(j) != -1L) j = (j + 1) & mask
+        keys(j) = ok(i); vals(j) = ov(i)
+      }
+      i += 1
+    }
+  }
+}
+
 /** Token-level trie for multi-token dictionary matching (north-rule
   * stage 2: "dictionary/alias entity linking scored via broadcast trie").
   *
@@ -22,15 +84,16 @@ final case class Mention(url: String, pos: Int, alias: String,
   *
   * Representation is dictionary-encoded for the hot loop: tokens are
   * interned to dense ints (string hash once per page token, integer
-  * transitions after), transitions live in one primitive-keyed map
-  * (state<<32|tokenId), and terminal states carry their payload lists.
+  * transitions after), transitions live in one open-addressed primitive
+  * long->int table keyed state<<32|tokenId (no boxed keys on the
+  * hottest loop), and terminal states carry their payload lists.
   * Matching emits EVERY dictionary alias at every position (overlaps
   * included) — same semantics as the unigram+bigram join matcher, which
   * this generalizes to arbitrary token length.
   */
 final class TokenTrie private (
     vocab: java.util.HashMap[String, Integer],
-    trans: java.util.HashMap[java.lang.Long, Integer],
+    trans: LongIntHash,
     terminals: Array[List[DictEntry]]) extends Serializable {
 
   def nStates: Int = terminals.length
@@ -54,10 +117,10 @@ final class TokenTrie private (
       var j = i
       var live = ids(j) >= 0
       while (live) {
-        val next = trans.get(java.lang.Long.valueOf((state.toLong << 32) | ids(j)))
-        if (next == null) live = false
+        val next = trans.get((state.toLong << 32) | ids(j))
+        if (next < 0) live = false
         else {
-          state = next.intValue
+          state = next
           val ts = terminals(state)
           if (ts != null) ts.foreach { e =>
             out += Mention(url, i, e.alias, e.entityId, e.entityLabel)
@@ -79,7 +142,7 @@ object TokenTrie {
     * resolution/re-ranking is the caller's concern). */
   def build(entries: IterableOnce[(Array[String], DictEntry)]): TokenTrie = {
     val vocab = new java.util.HashMap[String, Integer]
-    val trans = new java.util.HashMap[java.lang.Long, Integer]
+    val trans = new LongIntHash(1 << 12)
     val term = mutable.HashMap.empty[Int, List[DictEntry]]
     var nStates = 1 // state 0 = root
     entries.iterator.foreach { case (toks, e) =>
@@ -87,13 +150,13 @@ object TokenTrie {
         var state = 0
         toks.foreach { tok =>
           val tid = vocab.computeIfAbsent(tok, _ => Integer.valueOf(vocab.size))
-          val key = java.lang.Long.valueOf((state.toLong << 32) | tid.longValue)
+          val key = (state.toLong << 32) | tid.longValue
           val nx = trans.get(key)
-          if (nx == null) {
-            trans.put(key, Integer.valueOf(nStates))
+          if (nx < 0) {
+            trans.put(key, nStates)
             state = nStates
             nStates += 1
-          } else state = nx.intValue
+          } else state = nx
         }
         term(state) = e :: term.getOrElse(state, Nil)
       }

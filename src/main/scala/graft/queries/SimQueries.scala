@@ -32,6 +32,17 @@ object SimQueries {
       Knn.lshTopK(emb(s, dir), dim = 64, k = 5,
         nPlanes = 6, nTables = 8, maxBucket = 4096, probe = true)
     }),
+    // IVF ANN (k-means coarse quantizer + nprobe lists): rows-only —
+    // centroid training is a distributed float average, so the exact
+    // candidate sets are not oracle-portable; recall >= 0.8 vs brute
+    // force is ScalaTest-gated (DedupSimSpec), and with nprobe=c/2 every
+    // query sees >> k candidates so the row count (nQueries * k) is
+    // stable under float-summation-order drift.
+    "q_knn_ivf" -> ((s, dir) => {
+      tune(s)
+      graft.sim.Ivf.ivfTopK(emb(s, dir), dim = 64, k = 5,
+        targetList = 64L, iters = 3, nprobe = 4)
+    }),
     "q_cosine_neardup" -> ((s, dir) => {
       tune(s)
       // integer outputs only (sim column would be float-eps fragile)

@@ -65,15 +65,37 @@ object Ivf {
     cents
   }
 
+  /** Centroid count sized from the corpus so the EXPECTED inverted list
+    * N/C stays at `targetList` as N grows — the corpus-derived
+    * parameterization that keeps per-list work bounded (the analogue of
+    * Knn.autoPlanes; a fixed C=16 at 10^12 rows means 10^10-row lists
+    * and a quadratic probe join). */
+  def autoC(n: Long, targetList: Long = 2048L): Int =
+    math.max(4L, math.min(1L << 20, (n + targetList - 1) / targetList)).toInt
+
   /** IVF approximate cosine top-k over `corpus` (id, emb): train (or
     * reuse) centroids, assign inverted lists, probe the `nprobe`
-    * nearest lists per query, score candidates exactly. */
+    * nearest lists per query, score candidates exactly.
+    *
+    * `c` <= 0 derives the centroid count from the corpus size via
+    * [[autoC]](n, targetList). `maxList` truncates oversize inverted
+    * lists deterministically (row_number by id — the skew guard: a hot
+    * list otherwise goes quadratic in the probe join); drops are
+    * logged, never silent. */
   def ivfTopK(corpus: DataFrame, dim: Int, k: Int,
-              c: Int = 16, iters: Int = 5, nprobe: Int = 8,
+              c: Int = 0, iters: Int = 5, nprobe: Int = 8,
+              targetList: Long = 2048L, maxList: Int = 4096,
               centroids: Option[Array[Array[Double]]] = None): DataFrame = {
-    val cents = centroids.getOrElse(trainCentroids(corpus, dim, c, iters))
-    val assigned = corpus.select(col("id").as("neighbor_id"),
+    val cc = if (c > 0) c else autoC(corpus.count(), targetList)
+    val cents = centroids.getOrElse(trainCentroids(corpus, dim, cc, iters))
+    val rawAssigned = corpus.select(col("id").as("neighbor_id"),
       argmin(col("emb"), cents).as("cid"))
+    val wL = Window.partitionBy("cid").orderBy(col("neighbor_id"))
+    val rankedL = rawAssigned.withColumn("rn", row_number().over(wL))
+    val nDropped = rankedL.filter(col("rn") > maxList).count()
+    if (nDropped > 0)
+      println(s"[ivfTopK] dropped $nDropped inverted-list members over cap=$maxList")
+    val assigned = rankedL.filter(col("rn") <= maxList).drop("rn")
     // nprobe nearest centroid ids per query: sort (dist, idx) structs
     // lexicographically, slice, project the idx field.
     val probeIds = TextOps.let(distArray(col("emb"), cents), a =>

@@ -108,6 +108,11 @@ object Triples {
         map(lit("name"), col("name")).as("props"))
   }
 
+  /** Witness-list cap for edge evidence: well above any fixture-scale
+    * fan-in (so small-SF oracles see the complete set), but a hard
+    * bound — at 10^12 pages one popular edge must not OOM a reducer. */
+  val DefaultEvidenceCap = 1024
+
   /** Edge extraction KEEPING per-edge evidence: same relation rules as
     * [[extract]], but instead of a bare distinct each canonical edge
     * aggregates its witness pages — sorted pipe-joined urls (the
@@ -119,18 +124,23 @@ object Triples {
     evidenceFromSets(perPageEntitySets(mentions, canon), canon)
 
   /** [[extractEvidence]] over precomputed per-page entity sets. */
-  def evidenceFromSets(pageSets: DataFrame, canon: DataFrame): DataFrame = {
+  def evidenceFromSets(pageSets: DataFrame, canon: DataFrame,
+                       evidenceCap: Int = DefaultEvidenceCap): DataFrame = {
     // Same one-scan/one-group shape as extract; the url payload (needed
     // for the witness list) is the only string in the wide shuffles.
-    // ONE aggregation: the witness count is the size of the collected
-    // set (countDistinct alongside collect_set would plan an Expand,
-    // doubling the aggregation input).
+    // ONE aggregation: BoundedAggs.topKCount keeps at most `evidenceCap`
+    // witnesses per edge in O(cap) reducer state (collect_set buffers
+    // the whole group — the plan-level OOM at 10^12 pages) and carries
+    // the exact page count alongside. Input rows are one-per-witness-url
+    // by construction (pageSets is grouped by url hash and the per-page
+    // entity sets are distinct), so `total` IS the distinct page count.
+    val topk = graft.functions.BoundedAggs.topKCount(evidenceCap)
     val edges = relationPairs(pageSets)
       .groupBy("se", "relation_label", "oe")
-      .agg(array_sort(collect_set(col("url"))).as("ev"))
+      .agg(topk(col("url")).as("ev"))
       .select(col("se"), col("relation_label"), col("oe"),
-        concat_ws("|", col("ev")).as("evidence"),
-        size(col("ev")).cast("long").as("n_pages"))
+        concat_ws("|", col("ev.items")).as("evidence"),
+        col("ev.total").as("n_pages"))
     val dim = broadcast(canonDim(canon))
     edges
       .join(dim.select(col("ce").as("se"), col("canonical_id").as("subject_id")), "se")

@@ -131,6 +131,21 @@ class DedupSimSpec extends AnyFunSuite {
     assert(full == brute, "nprobe = C must equal exact search")
   }
 
+  test("autoC scales centroid count with corpus size; inverted-list cap bounds candidates") {
+    import graft.sim.Ivf
+    assert(Ivf.autoC(500L, 64L) == 8)
+    assert(Ivf.autoC(1L << 20, 2048L) == 512)
+    assert(Ivf.autoC(10L, 2048L) == 4)                    // floor
+    assert(Ivf.autoC(1000000000000L, 2048L) == (1 << 20)) // ceiling clamp
+    // maxList=1, nprobe=2: every probed list holds at most ONE member,
+    // so no query can see more than 2 candidates regardless of k.
+    val corpus = Corpus64.df(spark)
+    val capped = Ivf.ivfTopK(corpus, dim = 64, k = 5, c = 4, iters = 2,
+        nprobe = 2, maxList = 1)
+      .groupBy("vec_id").count().select("count").as[Long].collect()
+    assert(capped.nonEmpty && capped.forall(_ <= 2L))
+  }
+
   test("autoPlanes bounds expected bucket size by corpus scale") {
     assert(Knn.autoPlanes(1000L, 1024L) == 4) // floor
     assert(Knn.autoPlanes(1L << 20, 1024L) == 10)

@@ -122,4 +122,58 @@ class MergeDedupAggSpec extends AnyFunSuite {
       .as[(String, String)].collect().toSet
     assert(anc == Set(("b", "a"), ("c", "a"), ("d", "b"), ("d", "c"), ("d", "a")))
   }
+
+  test("bounded topK == sorted collect_set + exact count when K >= fan-in") {
+    import graft.functions.BoundedAggs
+    val topk = BoundedAggs.topKCount(64)
+    val df = Seq(("g", "u3"), ("g", "u1"), ("g", "u2"), ("h", "u9"))
+      .toDF("k", "u").repartition(7)
+    val r = df.groupBy("k").agg(topk($"u").as("ev"))
+      .select($"k", $"ev.items", $"ev.total")
+      .as[(String, Seq[String], Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r("g") == ((Seq("u1", "u2", "u3"), 3L)))
+    assert(r("h") == ((Seq("u9"), 1L)))
+  }
+
+  test("bounded topK keeps the K smallest distinct across partitions; count stays exact") {
+    import graft.functions.BoundedAggs
+    val topk = BoundedAggs.topKCount(3)
+    // values arrive shuffled over 8 partitions with duplicates among kept
+    val vals = (0 until 200).map(i => ("g", f"v${(i * 37) % 50}%03d"))
+    val df = vals.toDF("k", "u").repartition(8)
+    val r = df.groupBy("k").agg(topk($"u").as("ev"))
+      .select($"ev.items", $"ev.total").as[(Seq[String], Long)].head()
+    assert(r._1 == Seq("v000", "v001", "v002")) // 3 smallest distinct
+    assert(r._2 == 200L)                        // every input row counted
+  }
+
+  test("bounded topK: a million-witness group aggregates in O(K) reducer state") {
+    import graft.functions.BoundedAggs
+    val k = 32
+    val topk = BoundedAggs.topKCount(k)
+    val df = spark.range(1000000).select(
+      lit("g").as("g"), format_string("u%09d", $"id").as("u"))
+    val r = df.groupBy("g").agg(topk($"u").as("ev"))
+      .select($"ev.total", $"ev.items").as[(Long, Seq[String])].head()
+    assert(r._1 == 1000000L)
+    assert(r._2 == (0 until k).map(i => f"u$i%09d"))
+  }
+
+  test("pipeSetUnionCapped == pipeSetUnionAgg when K >= distinct; null on all-absent") {
+    import graft.functions.BoundedAggs
+    val capped = BoundedAggs.pipeSetUnionCapped(16)
+    val df = Seq(("g", "3|1"), ("g", "2|1"), ("g", null), ("h", null))
+      .toDF("k", "pm")
+    val r = df.groupBy("k").agg(
+        capped($"pm").as("c"), Aggs.pipeSetUnionAgg($"pm").as("u"))
+      .collect().map(x => x.getString(0) -> (x.getString(1), x.getString(2))).toMap
+    assert(r("g") == (("1|2|3", "1|2|3")))
+    assert(r("h")._1 == null)
+    // cap enforced: 2 smallest distinct elements only
+    val capped2 = BoundedAggs.pipeSetUnionCapped(2)
+    val r2 = df.filter($"k" === "g").groupBy("k").agg(capped2($"pm").as("c"))
+      .select("c").as[String].head()
+    assert(r2 == "1|2")
+  }
 }
