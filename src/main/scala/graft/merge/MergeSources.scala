@@ -77,4 +77,35 @@ object MergeSources {
   def mergeAll(sources: Seq[DataFrame], keys: Seq[String],
                rules: Seq[FuseRule]): DataFrame =
     sources.reduceLeft((a, b) => merge(a, b, keys, rules))
+
+  /** Row-wise median across per-source numeric columns, nulls ignored
+    * (the reference's get_median over the merged row's per-source score
+    * values — drug_adapter.py:2244-2246: float cast + median + round 3;
+    * pandas median = mean of the two middle values for even counts).
+    * Used AFTER an n-way fold that kept each source's score column
+    * (the reference's _x/_y suffixes): a pairwise fuse rule cannot
+    * express a 6-source median, the row-wise form can. Null when every
+    * source is absent. */
+  def rowMedian(cols: Seq[Column]): Column = {
+    val arr = array_sort(filter(array(cols.map(_.cast("double")): _*),
+      x => x.isNotNull))
+    val n = size(arr)
+    when(n === 0, lit(null)).otherwise(
+      round((element_at(arr, ((n + 1) / 2).cast("int")) +
+        element_at(arr, (n / 2 + 1).cast("int"))) / 2.0, 3))
+  }
+
+  /** Row-wise middle value (element ceil(n/2) of the sorted non-null
+    * per-source values — the reference's get_middle_row applied across
+    * the merged row, drug_adapter.py:2248-2258). */
+  def rowMiddle(cols: Seq[Column]): Column = {
+    val arr = array_sort(filter(array(cols: _*), x => x.isNotNull))
+    val n = size(arr)
+    when(n === 0, lit(null))
+      .otherwise(element_at(arr, ceil(n / 2.0).cast("int")))
+  }
+
+  /** Count of sources contributing a non-null value on this row. */
+  def rowSourceCount(cols: Seq[Column]): Column =
+    size(filter(array(cols: _*), x => x.isNotNull))
 }

@@ -51,7 +51,124 @@ object RelationalQueries {
         Aggs.pipeSetUnionAgg(col("l_orderkey").cast("string")).as("pubmeds"))
       .withColumn("source", lit("string"))
 
+  /** DTI-chain source i (i = 1..6): one "database" per lineitem line
+    * number, each with its own per-pair score, method and pubmed list —
+    * the 6-source merge_all_dtis shape (drug_adapter.py:1695-1969). */
+  private def dtiSrc(s: SparkSession, dir: String, i: Int): DataFrame =
+    li(s, dir).filter(col("l_linenumber") === i)
+      .groupBy(
+        concat(lit("D"), col("l_suppkey")).as("id_a"),
+        concat(lit("T"), col("l_partkey")).as("id_b"))
+      .agg(
+        sum(col("l_quantity")).as(s"q_$i"),
+        min(concat(col("l_returnflag"), col("l_linestatus"))).as(s"m_$i"),
+        Aggs.pipeSetUnionAgg(col("l_orderkey").cast("string")).as(s"pm_$i"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J2 at reference scale: the 6-way full-outer fold with NUMERIC
+    // fusion — per-source score columns kept through the chain (the
+    // reference's _x/_y suffixes), then row-wise median (get_median),
+    // first-non-null method by source priority, pubmed set-union
+    // (merge_all_dtis, drug_adapter.py:1695-1969, :2244-2258).
+    "q_merge_dti" -> ((s, dir) => {
+      tune(s)
+      val merged = MergeSources.mergeAll(
+        (1 to 6).map(i => dtiSrc(s, dir, i)), Seq("id_a", "id_b"), Nil)
+      val qs = (1 to 6).map(i => col(s"q_$i"))
+      val ms = (1 to 6).map(i => col(s"m_$i"))
+      val pms = (1 to 6).map(i => col(s"pm_$i"))
+      merged.select(
+        col("id_a"), col("id_b"),
+        // median-of-sources in exact micro-units (driver contract: no
+        // float columns in oracle-checked outputs; floor(+0.5) is the
+        // cross-engine-safe integerization, cast semantics differ)
+        floor(MergeSources.rowMedian(qs) * 1000 + 0.5).cast("long")
+          .as("med_qty_milli"),
+        coalesce(ms: _*).as("method"),
+        concat_ws("|", array_sort(array_distinct(flatten(array(
+          pms.map(p => coalesce(split(p, "\\|"), array())): _*)))))
+          .as("pubmeds"),
+        MergeSources.rowSourceCount(qs).cast("long").as("n_srcs"))
+    }),
+    // F9/O1: computed edge labels from data columns + broadcast aspect
+    // whitelist (go_adapter.py:899-907 label synthesis, :1017-1078).
+    "q_go_labels" -> ((s, dir) => {
+      tune(s)
+      val o = Corpus.table(s, dir, "orders")
+      val l = li(s, dir)
+      val f = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(
+          concat(lit("CUST:"), col("o_custkey")).as("subject_id"),
+          lower(regexp_replace(
+            regexp_replace(col("o_orderpriority"), "^[0-9]-", ""), " ", "_"))
+            .as("q"),
+          lower(col("l_returnflag")).as("a"),
+          concat(lit("T"), col("l_partkey")).as("object_id"))
+      graft.triples.DerivedLabels.whitelistFilter(f, "q", "a",
+          Seq(("urgent", "r"), ("urgent", "a"), ("high", "n"), ("low", "r")))
+        .select(col("subject_id"),
+          graft.triples.DerivedLabels
+            .derivedLabel("ordered", col("q"), col("a")).as("relation_label"),
+          col("object_id"))
+        .distinct()
+    }),
+    // J5 taxon guard: organism-checked canonicalization with priority
+    // fallback — a symbol shared across taxa resolves per (symbol,
+    // taxon), and taxa without a priority-1 mapping fall back to the
+    // priority-2 row (ppi_adapter.py:478-509, disease_adapter
+    // .py:2282-2319).
+    "q_taxon_canon" -> ((s, dir) => {
+      tune(s)
+      val sup = Corpus.table(s, dir, "supplier")
+      val facts = sup.select(
+        col("s_suppkey"),
+        concat(lit("SYM:"), pmod(col("s_suppkey"), lit(50))).as("sym"),
+        col("s_nationkey").cast("string").as("taxon"))
+      val pairs = sup.select(
+        pmod(col("s_suppkey"), lit(50)).as("k"),
+        col("s_nationkey").as("n")).distinct()
+      val m1 = pairs.filter(pmod(col("n"), lit(2)) === 0).select(
+        concat(lit("SYM:"), col("k")).as("raw_id"),
+        col("n").cast("string").as("taxon"),
+        concat(lit("ENT:"), col("n"), lit("_"), col("k")).as("canonical_id"),
+        lit(1).as("priority"))
+      val m2 = pairs.select(
+        concat(lit("SYM:"), col("k")).as("raw_id"),
+        col("n").cast("string").as("taxon"),
+        concat(lit("ENTX:"), col("n"), lit("_"), col("k")).as("canonical_id"),
+        lit(2).as("priority"))
+      graft.canon.Canonicalize
+        .canonicalizeTaxon(facts, "sym", "taxon", m1.unionByName(m2))
+        .select(col("s_suppkey"), col("taxon"), col("sym").as("entity_id"))
+    }),
+    // S6 end-to-end: KEGG-style flat-file records synthesized from the
+    // documents table, round-tripped through text files and the
+    // lineSep-partitioned record parser (continuation lines included),
+    // then pivoted back to one row per record for the oracle.
+    "q_flatfile" -> ((s, dir) => {
+      tune(s)
+      val body = Corpus.table(s, dir, "documents").select(concat(
+        lit("ENTRY       D"), col("doc_id"), lit("\n"),
+        lit("NAME        doc "), col("doc_id"), lit("\n"),
+        lit("SRC         "), col("source"), lit("\n"),
+        lit("LANG        "), col("lang"), lit("\n"),
+        lit("DESC        first line\n            second line\n"),
+        lit("NCHARS      "), col("n_chars"), lit("\n"),
+        lit("///")).as("value"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_flatfile_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      body.coalesce(4).write.mode("overwrite").text(path)
+      graft.sources.FlatFile.read(s, path)
+        .groupBy("record_id")
+        .agg(
+          max(when(col("field") === "ENTRY", col("value"))).as("entry"),
+          max(when(col("field") === "NAME", col("value"))).as("name"),
+          max(when(col("field") === "SRC", col("value"))).as("src"),
+          max(when(col("field") === "LANG", col("value"))).as("lang"),
+          max(when(col("field") === "NCHARS", col("value"))).as("nchars"),
+          count(when(col("field") === "DESC", lit(1))).as("n_desc"))
+        .select("entry", "name", "src", "lang", "nchars", "n_desc")
+    }),
     // J1/J2: the signature ordered full-outer fold + column fusion.
     "q_merge_edges" -> ((s, dir) => {
       tune(s)
@@ -196,6 +313,44 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Per-pair per-source rows rebuilt directly: median over the present
+    // sources' sums == the engine's row-wise median after the 6-way
+    // fold; arg_min(m, i) == first-non-null in source order.
+    "q_merge_dti" ->
+      """WITH src AS (
+        |  SELECT 'D'||l_suppkey id_a, 'T'||l_partkey id_b, l_linenumber i,
+        |         sum(l_quantity) q,
+        |         min(l_returnflag||l_linestatus) m,
+        |         list_sort(list_distinct(list(CAST(l_orderkey AS VARCHAR)))) pm
+        |  FROM lineitem WHERE l_linenumber BETWEEN 1 AND 6
+        |  GROUP BY 1, 2, 3)
+        |SELECT id_a, id_b,
+        |       CAST(floor(median(q) * 1000 + 0.5) AS BIGINT) med_qty_milli,
+        |       arg_min(m, i) AS "method",
+        |       array_to_string(list_sort(list_distinct(flatten(list(pm)))), '|') pubmeds,
+        |       CAST(count(*) AS BIGINT) n_srcs
+        |FROM src GROUP BY 1, 2""".stripMargin,
+    "q_go_labels" ->
+      """WITH f AS (
+        |  SELECT 'CUST:'||o.o_custkey subject_id,
+        |         lower(replace(regexp_replace(o.o_orderpriority, '^[0-9]-', ''), ' ', '_')) q,
+        |         lower(l.l_returnflag) a,
+        |         'T'||l.l_partkey object_id
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+        |SELECT DISTINCT subject_id, 'ordered_'||q||'_'||a relation_label, object_id
+        |FROM f
+        |WHERE (q='urgent' AND a='r') OR (q='urgent' AND a='a')
+        |   OR (q='high' AND a='n') OR (q='low' AND a='r')""".stripMargin,
+    "q_taxon_canon" ->
+      """SELECT s_suppkey, CAST(s_nationkey AS VARCHAR) taxon,
+        |       CASE WHEN s_nationkey % 2 = 0
+        |            THEN 'ENT:'||s_nationkey||'_'||(s_suppkey % 50)
+        |            ELSE 'ENTX:'||s_nationkey||'_'||(s_suppkey % 50) END entity_id
+        |FROM supplier""".stripMargin,
+    "q_flatfile" ->
+      """SELECT 'D'||doc_id entry, 'doc '||doc_id AS "name", source src, lang,
+        |       CAST(n_chars AS VARCHAR) nchars, CAST(2 AS BIGINT) n_desc
+        |FROM documents""".stripMargin,
     "q_merge_edges" ->
       """WITH a AS (
         |  SELECT 'P'||l_partkey id_a, 'S'||l_suppkey id_b,
