@@ -65,8 +65,8 @@ object Pipeline {
     val fpMentions = s"mentions-trie-v2;$fpExtract;dict=aliasDict"
     val fpCanon = s"canon-cc-v1;sfDir=$sfDir"
     val fpTriples = s"triples-v1;$fpMentions;$fpCanon"
-    val fpNodes = s"nodes-typed-v2;$fpMentions;$fpCanon;attrs=nodeAttrs"
-    val fpEdges = s"edges-fused-v2;$fpMentions;$fpCanon;src=web+ledger"
+    val fpNodes = s"nodes-typed-v3;$fpMentions;$fpCanon;attrs=nodeAttrs;+order"
+    val fpEdges = s"edges-fused-v3;$fpMentions;$fpCanon;src=web+ledger+placed+contains"
 
     // Stage-commit pipelining: independent stages run as concurrent
     // Spark jobs (the scheduler interleaves their tasks), and each
@@ -134,10 +134,17 @@ object Pipeline {
       }
     }
     // Typed nodes (golden schema: props, props_arr, embedding), written
-    // directory-partitioned by id-hash bucket so downstream readers prune.
+    // directory-partitioned by id-hash bucket so downstream readers
+    // prune. Order nodes join the graph here with their int/float/bool
+    // props (round(_,3) float, commaInt-parsed int, bool) — the typed-
+    // coercion vocabulary runs inside the flagship path, not just in
+    // golden unit tests.
     val nodes = GraphStore.getOrCompute(spark, storeBase, "nodes",
         partitionByCols = Seq("bucket"), inputFp = fpNodes, lineageAsync = true) {
       Triples.nodesTyped(Triples.nodes(mentions, canon), Corpus.nodeAttrs(spark, sfDir))
+        .unionByName(Corpus.orderNodes(spark, sfDir)
+          .withColumn("props_arr", map().cast("map<string,array<string>>"))
+          .withColumn("embedding", lit(null).cast("array<float>")))
         .withColumn("bucket", pmod(xxhash64(col("id")), lit(32)))
     }
     mark("nodes")
@@ -155,10 +162,6 @@ object Pipeline {
         rules = Seq(
           MergeSources.PipeSetUnion("sources"),
           MergeSources.PipeSetUnion("evidence")))
-      val ids = nodes.select(col("id"))
-      fused
-        .join(ids.withColumnRenamed("id", "subject_id"), Seq("subject_id"), "left_semi")
-        .join(ids.withColumnRenamed("id", "object_id"), Seq("object_id"), "left_semi")
         .withColumn("properties", map(
           lit("sources"), col("sources"),
           lit("evidence"), col("evidence"),
@@ -166,6 +169,21 @@ object Pipeline {
           lit("n_lines"), coalesce(col("n_lines"), lit(0L)).cast("string")))
         .select(col("subject_id"), col("relation_label"), col("object_id"),
           col("properties"))
+      // Relational typed-edge layers (placed: int year; contains: int
+      // quantity + round(_,3) float extendedprice) ride the same sink
+      // schema; skip-bad-relationships applies to every family.
+      val placed = Corpus.placedEdges(spark, sfDir)
+        .select(col("subject_id"), col("relation_label"), col("object_id"),
+          map(lit("year"), col("year").cast("string")).as("properties"))
+      val contains = Corpus.containsEdges(spark, sfDir, canon)
+        .select(col("subject_id"), col("relation_label"), col("object_id"),
+          map(lit("quantity"), col("quantity").cast("string"),
+            lit("extendedprice"), col("extendedprice").cast("string"))
+            .as("properties"))
+      val ids = nodes.select(col("id"))
+      fused.unionByName(placed).unionByName(contains)
+        .join(ids.withColumnRenamed("id", "subject_id"), Seq("subject_id"), "left_semi")
+        .join(ids.withColumnRenamed("id", "object_id"), Seq("object_id"), "left_semi")
         .withColumn("bucket", pmod(xxhash64(col("subject_id")), lit(32)))
     }
     mark("edges")

@@ -157,6 +157,48 @@ object CoreQueries {
             col("relation_label").as("label"),
             col("object_id").as("name")))
     }),
+    // Schema breadth: order nodes with int/float/bool typed props —
+    // the props map carries round(_,3) floats, a comma-grouped int
+    // parsed via StringFns.commaInt, and a bool; the oracle compares
+    // integerized forms (driver contract: no float columns).
+    "q_order_nodes" -> ((s, dir) => {
+      tune(s)
+      Corpus.orderNodes(s, dir).select(
+        col("id"), col("label"),
+        col("props")("name").as("name"),
+        col("props")("priority").as("priority"),
+        floor(col("props")("totalprice").cast("double") * 1000 + 0.5)
+          .cast("long").as("totalprice_milli"),
+        col("props")("totalprice_floor").cast("long").as("totalprice_floor"),
+        col("props")("year").cast("int").as("year"),
+        col("props")("is_urgent").as("is_urgent"))
+    }),
+    // Schema breadth: the six new typed edge families flattened onto a
+    // uniform (subject, label, object, p_int, p_milli) projection.
+    "q_typed_edges" -> ((s, dir) => {
+      tune(s)
+      val canon = Corpus.canonicalIds(s, dir)
+      val nullL = lit(null).cast("long")
+      Corpus.placedEdges(s, dir)
+        .select(col("subject_id"), col("relation_label"), col("object_id"),
+          col("year").as("p_int"), nullL.as("p_milli"))
+        .unionByName(Corpus.containsEdges(s, dir, canon)
+          .select(col("subject_id"), col("relation_label"), col("object_id"),
+            col("quantity").as("p_int"),
+            (col("extendedprice_cents") * 10).as("p_milli")))
+        .unionByName(Corpus.brandedAsEdges(s, dir)
+          .select(col("subject_id"), col("relation_label"), col("object_id"),
+            nullL.as("p_int"), nullL.as("p_milli")))
+        .unionByName(Corpus.inSegmentEdges(s, dir)
+          .select(col("subject_id"), col("relation_label"), col("object_id"),
+            nullL.as("p_int"), nullL.as("p_milli")))
+        .unionByName(Corpus.fromNationEdges(s, dir)
+          .select(col("subject_id"), col("relation_label"), col("object_id"),
+            nullL.as("p_int"), nullL.as("p_milli")))
+        .unionByName(Corpus.ratedEdges(s, dir, canon)
+          .select(col("subject_id"), col("relation_label"), col("object_id"),
+            col("n_srcs").as("p_int"), col("med_qty_milli").as("p_milli")))
+    }),
     // Node emission (id, label, name) — map props checked rows-only
     // elsewhere; here the flat projection is oracle-checked.
     "q_nodes" -> ((s, dir) => {
@@ -344,7 +386,57 @@ object CoreQueries {
       |  CAST(coalesce(max(n_lines), 0) AS BIGINT) n_lines
       |FROM all_src GROUP BY 1,2,3""".stripMargin
 
+  private val typedEdgesSql =
+    """WITH pc AS (
+      |  SELECT p_partkey,
+      |         'PART:' || replace(min('PARTRAW:' || p_partkey) OVER (PARTITION BY p_name), 'PARTRAW:', '') AS pid
+      |  FROM part),
+      |pcanon AS (
+      |  SELECT p_name,
+      |         CAST(replace(min('PARTRAW:' || p_partkey), 'PARTRAW:', '') AS BIGINT) minkey
+      |  FROM part GROUP BY p_name)
+      |SELECT 'CUST:'||o_custkey subject_id, 'placed' relation_label,
+      |       'ORDER:'||o_orderkey object_id,
+      |       CAST(year(o_orderdate) AS BIGINT) p_int, CAST(NULL AS BIGINT) p_milli
+      |FROM orders
+      |UNION ALL
+      |SELECT 'ORDER:'||l.l_orderkey, 'contains', pc.pid,
+      |       CAST(floor(sum(l.l_quantity)) AS BIGINT),
+      |       10 * sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+      |FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey
+      |GROUP BY 1, 2, 3
+      |UNION ALL
+      |SELECT 'PART:'||pcanon.minkey, 'branded_as',
+      |       'BRAND:'||replace(p.p_brand, ' ', '_'), NULL, NULL
+      |FROM pcanon JOIN part p ON p.p_partkey = pcanon.minkey
+      |UNION ALL
+      |SELECT 'CUST:'||c_custkey, 'in_segment', 'SEG:'||c_mktsegment, NULL, NULL
+      |FROM customer
+      |UNION ALL
+      |SELECT 'SUPP:'||s_suppkey, 'from_nation', 'NATION:'||s_nationkey, NULL, NULL
+      |FROM supplier
+      |UNION ALL
+      |SELECT subject_id, 'rated', object_id,
+      |       CAST(count(*) AS BIGINT),
+      |       CAST(floor(median(q) * 1000 + 0.5) AS BIGINT)
+      |FROM (
+      |  SELECT 'SUPP:'||l.l_suppkey subject_id, pc.pid object_id,
+      |         l.l_linenumber i, sum(l.l_quantity) q
+      |  FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey
+      |  WHERE l.l_linenumber BETWEEN 1 AND 6
+      |  GROUP BY 1, 2, 3)
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_order_nodes" ->
+      """SELECT 'ORDER:'||o_orderkey id, 'order' AS "label",
+        |       'Order '||o_orderkey AS "name", o_orderpriority priority,
+        |       CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT) totalprice_milli,
+        |       CAST(floor(o_totalprice) AS BIGINT) totalprice_floor,
+        |       CAST(year(o_orderdate) AS INT) "year",
+        |       CAST(o_orderpriority = '1-URGENT' AS VARCHAR) is_urgent
+        |FROM orders""".stripMargin,
+    "q_typed_edges" -> typedEdgesSql,
     "q_mentions_trie" -> mentionsTrieSql,
     "q_mentions_ranked" -> mentionsRankedSql,
     "q_nodes_props" -> nodesPropsSql,

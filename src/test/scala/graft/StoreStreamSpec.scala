@@ -62,13 +62,14 @@ class StoreStreamSpec extends AnyFunSuite {
     val r1 = Pipeline.run(spark, TestSpark.sf0001, base, partitions = 8)
     assert(r1.auditMismatches == 0)
     val qTriples = SparkEntry.queries("q_triples")(spark, TestSpark.sf0001).count()
-    assert(r1.nTriples == qTriples)
+    // the flagship web triple set is the `triples` snapshot; the edge
+    // store is a SUPERSET (web+ledger fused + placed/contains layers)
+    val t1 = GraphStore.readLatest(spark, base, "triples").get
+    assert(t1.count() == qTriples)
+    assert(r1.nTriples >= qTriples)
     // resume: second run over the same store reads committed snapshots
     val r2 = Pipeline.run(spark, TestSpark.sf0001, base, partitions = 8)
     assert(r2.nTriples == r1.nTriples && r2.nNodes == r1.nNodes)
-    // triple set byte-identical across the resume
-    val t1 = GraphStore.readLatest(spark, base, "triples").get
-    assert(t1.count() == r1.nTriples)
   }
 
   test("streaming: hourly agg over readStream equals batch result") {

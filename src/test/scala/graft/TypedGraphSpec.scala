@@ -78,6 +78,42 @@ class TypedGraphSpec extends AnyFunSuite {
     assert(supplies.filter(!$"object_id".startsWith("PART:")).count() == 0)
   }
 
+  test("schema-breadth layers conform: typed int/float/bool props and six new edge families") {
+    val sf = TestSpark.sf0001
+    val shaped = Seq(
+      Corpus.orderNodes(spark, sf), Corpus.brandNodes(spark, sf),
+      Corpus.segmentNodes(spark, sf), Corpus.documentNodes(spark, sf))
+      .map(_.withColumn("props_arr", map().cast("map<string,array<string>>"))
+        .withColumn("embedding", lit(null).cast("array<float>")))
+      .reduce(_ unionByName _)
+    assert(KgSchema.nodeViolations(shaped.select("id", "label")).isEmpty)
+    assert(KgSchema.nodePropViolations(shaped).isEmpty)
+    // value-typed conformance is real: an unparseable int / float / bool
+    // value on a declared typed key is a violation
+    val bad = Seq(
+      ("ORDER:1", "order", Map("name" -> "o", "year" -> "199x")),
+      ("ORDER:2", "order", Map("name" -> "o", "totalprice" -> "12.3.4")),
+      ("DOC:1", "document", Map("name" -> "d", "is_english" -> "yes")),
+      ("DOC:2", "document", Map("name" -> "d", "n_chars" -> "42")))
+      .toDF("id", "label", "props")
+      .withColumn("props_arr", map().cast("map<string,array<string>>"))
+      .withColumn("embedding", lit(null).cast("array<float>"))
+    val v = KgSchema.nodePropViolations(bad).select("id").as[String].collect().toSet
+    assert(v == Set("ORDER:1", "ORDER:2", "DOC:1"))
+    // six new edge families pass endpoint-prefix conformance
+    val canonT = Corpus.canonicalIds(spark, sf)
+    val edges = Seq(
+      Corpus.placedEdges(spark, sf),
+      Corpus.containsEdges(spark, sf, canonT),
+      Corpus.brandedAsEdges(spark, sf),
+      Corpus.inSegmentEdges(spark, sf),
+      Corpus.fromNationEdges(spark, sf),
+      Corpus.ratedEdges(spark, sf, canonT))
+      .map(_.select("subject_id", "relation_label", "object_id"))
+      .reduce(_ unionByName _)
+    assert(KgSchema.edgeViolations(edges).isEmpty)
+  }
+
   test("taxon-checked canonicalization maps a symbol only under its organism") {
     // symbol CDC42 exists for human (9606) and yeast (4932) with different
     // canonical targets (the ppi_adapter.py:478-509 guard).
