@@ -71,15 +71,10 @@ object DedupOps {
       i => transform(
         slice(col("ds"), i + 2, size(col("ds")) - i - 1),
         d2 => struct(element_at(col("ds"), i + 1).as("id1"), d2.as("id2")))))
-    // Materialize the (aggregated, bounded) pair counts, then release
-    // the cached inverted index — repeated calls in one session must not
-    // accumulate cached partitions.
     val pairs = postings
       .select(explode(pairExpr).as("p"))
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("common"))
-      .localCheckpoint(true)
-    allPostings.unpersist(false)
     // Retained-universe sizes: identical to the raw set sizes unless hot
     // shingles exist, in which case each doc's size counts only shingles
     // with df <= maxDf (broadcast anti-join against the tiny hot set).
@@ -87,11 +82,17 @@ object DedupOps {
       if (nHot == 0) sets.select(col("doc_id"), size(col("shs")).as("sz"))
       else inv.join(broadcast(hot), Seq("sh"), "left_anti")
         .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    pairs
+    // ONE materialization of the (tiny, tau-filtered) result, then the
+    // cached inverted index is released — repeated calls in a session
+    // must not accumulate cached partitions.
+    val result = pairs
       .join(sizes.select(col("doc_id").as("id1"), col("sz").as("size1")), "id1")
       .join(sizes.select(col("doc_id").as("id2"), col("sz").as("size2")), "id2")
       .filter(col("common") * (1.0 + tau) >= lit(tau) * (col("size1") + col("size2")))
       .select("id1", "id2", "common", "size1", "size2")
+      .localCheckpoint(true)
+    allPostings.unpersist(false)
+    result
   }
 
   // ---------------------------------------------------------------
