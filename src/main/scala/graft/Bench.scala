@@ -20,7 +20,8 @@ object Bench {
   private val headline = Seq(
     "q_triples", "q_mentions", "q_cc", "q_merge_edges", "q_pair_dedup",
     "q_top1_per_group", "q_set_union", "q_dedup_exact", "q_ngram_jaccard",
-    "q_minhash_neardup", "q_knn_cosine", "q_doc_stats", "q_events_hourly")
+    "q_minhash_neardup", "q_knn_cosine", "q_knn_lsh", "q_knn_ivf",
+    "q_doc_stats", "q_events_hourly")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

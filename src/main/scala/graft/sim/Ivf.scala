@@ -24,15 +24,15 @@ import graft.textops.TextOps
   */
 object Ivf {
 
-  /** Squared L2 distance from `emb` to a centroid literal. */
-  private def sqDist(emb: Column, ct: Array[Double]): Column =
-    ct.zipWithIndex.map { case (v, d) =>
-      val diff = element_at(emb, d + 1).cast("double") - lit(v)
-      diff * diff
-    }.reduce(_ + _)
-
+  /** Squared-L2 distance array from `emb` to every centroid — the
+    * native codegen'd kernel (one fused loop with the centroid matrix
+    * as a broadcast-style reference object). The old unrolled Column
+    * form was C×dim expression terms: at autoC-scale centroid counts
+    * the analyzer and codegen went quadratic, dwarfing the actual math
+    * ([[graft.functions.VectorExprs.CentroidDists]] documents the
+    * float-order parity). */
   private def distArray(emb: Column, cents: Array[Array[Double]]): Column =
-    array(cents.map(ct => sqDist(emb, ct)): _*)
+    graft.functions.VectorExprs.centroidDists(emb, cents)
 
   /** 1-based argmin over the distance array (first minimum wins). */
   private def argmin(emb: Column, cents: Array[Array[Double]]): Column =

@@ -26,8 +26,15 @@ import org.apache.spark.sql.functions._
 object Knn {
 
   /** dot(a,b) computed in double, sequential left fold (deterministic
-    * summation order — oracle-comparable). */
+    * summation order — oracle-comparable). Native codegen'd expression;
+    * [[dotHof]] is the composable higher-order-function form it is
+    * bit-identical to (cross-checked in VectorExprSpec). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.floatDot(a, b)
+
+  /** The `aggregate(zip_with(...))` formulation of [[dot]] — kept as
+    * the executable specification of the native expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -66,8 +73,15 @@ object Knn {
 
   /** Sign-random-projection bucket signature (nPlanes bits) per vector —
     * the LSH/IVF-style coarse quantizer. `table` offsets the plane set
-    * so multiple independent tables share one formula. */
-  def srpSignature(emb: Column, dim: Int, nPlanes: Int, table: Int = 0): Column = {
+    * so multiple independent tables share one formula. Native codegen'd
+    * loop; [[srpSignatureUnrolled]] is the Column form it matches
+    * bit-for-bit (`dim` is read from the array at runtime). */
+  def srpSignature(emb: Column, dim: Int, nPlanes: Int, table: Int = 0): Column =
+    graft.functions.VectorExprs.srpSig(emb, nPlanes, table)
+
+  /** The unrolled per-plane Column formulation of [[srpSignature]] —
+    * kept as the executable specification of the native expression. */
+  def srpSignatureUnrolled(emb: Column, dim: Int, nPlanes: Int, table: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
       val proj = (0 until dim).map(d =>
         element_at(emb, d + 1).cast("double") * coeff(p + table * nPlanes, lit(d)))

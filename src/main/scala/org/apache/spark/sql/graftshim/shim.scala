@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** The one sanctioned bridge between graft's native Catalyst
+  * expressions and the public Column API. Spark 4 made the
+  * Expression⇄Column converters `private[sql]`
+  * (`classic.ExpressionUtils`), so — like every Spark-extension
+  * library — we expose them through a package-nested shim. Nothing
+  * else in the repo reaches into Spark internals.
+  */
+object shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
