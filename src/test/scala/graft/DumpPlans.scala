@@ -20,8 +20,9 @@ object DumpPlans {
     spark.sparkContext.setLogLevel("ERROR")
     val names = Seq("q_mentions", "q_triples", "q_edges_props",
       "q_mentions_ranked", "q_merge_edges", "q_semi_join",
-      "q_doc_stats", "q_knn_cosine", "q_knn_lsh", "q_minhash_neardup",
-      "q_pair_dedup", "q_dedup_exact", "q_supply_edges")
+      "q_doc_stats", "q_knn_cosine", "q_knn_lsh", "q_knn_ivf",
+      "q_minhash_neardup", "q_pair_dedup", "q_dedup_exact",
+      "q_supply_edges", "q_merge_dti", "q_go_labels", "q_typed_edges")
     val sb = new StringBuilder
     names.foreach { n =>
       sb.append(s"===== $n =====\n")

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{BoundedAggs, Salted}
+import graft.store.BucketedGraph
+import graft.triples.Triples
+
+/** The two at-scale layout/skew techniques the north-star names
+  * explicitly: bucketed co-located graph tables (no Exchange on
+  * bucket-key joins) and salted aggregation for hub keys (bit-identical
+  * results, fan-in spread over salts reducers).
+  */
+class ScaleTechniquesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed nodes/edges join on the bucket key plans NO shuffle on either side") {
+    val triples = SparkEntry.queries("q_triples")(spark, TestSpark.sf0001)
+    val nodes = triples.select(col("subject_id").as("id")).distinct()
+      .withColumn("label", lit("entity"))
+    BucketedGraph.write(nodes, triples, "spec_bg", nBuckets = 8)
+    try {
+      val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = BucketedGraph.edgesWithSubjects(spark, "spec_bg")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed join must not shuffle, plan was:\n$plan")
+        // same rows as the plain (shuffled) join over the raw frames
+        val expected = triples.join(
+          nodes, triples("subject_id") === nodes("id")).count()
+        assert(joined.count() === expected)
+
+        // groupBy on the bucket key: no shuffle either
+        val deg = BucketedGraph.subjectDegrees(spark, "spec_bg")
+        val degPlan = deg.queryExecution.executedPlan.toString
+        assert(!degPlan.contains("Exchange"),
+          s"bucket-key aggregation must not shuffle, plan was:\n$degPlan")
+        assert(deg.count() === nodes.count())
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spec_bg_nodes")
+      spark.sql("DROP TABLE IF EXISTS spec_bg_edges")
+    }
+  }
+
+  test("salted topKCount is bit-identical to unsalted on a synthetic hub key") {
+    // one hub key with 60k witness rows (with duplicates) + long tail
+    val hub = spark.range(60000).select(
+      lit("HUB").as("k"), concat(lit("w"), (col("id") % 7919)).as("v"))
+    val tail = spark.range(2000).select(
+      concat(lit("t"), col("id") % 97).as("k"), concat(lit("x"), col("id")).as("v"))
+    val df = hub.unionByName(tail)
+
+    val k = 16
+    val unsalted = df.groupBy("k")
+      .agg(BoundedAggs.topKCount(k)(col("v")).as("wit"))
+      .select(col("k"), col("wit.items").as("items"), col("wit.total").as("total"))
+    val salted = Salted.topKCountSalted(df, Seq("k"), col("v"), k, salts = 32)
+      .select(col("k"), col("wit.items").as("items"), col("wit.total").as("total"))
+
+    val u = unsalted.orderBy("k").collect()
+    val s = salted.orderBy("k").collect()
+    assert(u.length === s.length)
+    u.zip(s).foreach { case (a, b) =>
+      assert(a.getString(0) === b.getString(0))
+      assert(a.getSeq[String](1) === b.getSeq[String](1))
+      assert(a.getLong(2) === b.getLong(2))
+    }
+    // the hub row is exact: 7919 distinct witnesses, 60000 rows, K kept
+    val hubRow = s.find(_.getString(0) == "HUB").get
+    assert(hubRow.getLong(2) === 60000L)
+    assert(hubRow.getSeq[String](1).length === k)
+  }
+}
