@@ -20,6 +20,8 @@ object CoreQueries {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // semantics-preserving native-kernel rewrites (idempotent)
+    graft.ext.GraftExtensions.install(spark)
     spark
   }
 

@@ -14,4 +14,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native-Expression SQL function on a LIVE session (the
+    * `spark.sql.extensions` config route only applies at session
+    * construction; the registry itself is `private[sql]`). */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      fn: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+           org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+           Seq[Expression] => Expression)): Unit =
+    spark.sessionState.functionRegistry.registerFunction(fn._1, fn._2, fn._3)
 }
