@@ -65,8 +65,10 @@ object Pipeline {
     val fpMentions = s"mentions-trie-v2;$fpExtract;dict=aliasDict"
     val fpCanon = s"canon-cc-v1;sfDir=$sfDir"
     val fpTriples = s"triples-v1;$fpMentions;$fpCanon"
-    val fpNodes = s"nodes-typed-v3;$fpMentions;$fpCanon;attrs=nodeAttrs;+order"
-    val fpEdges = s"edges-fused-v3;$fpMentions;$fpCanon;src=web+ledger+placed+contains"
+    val fpNodes = s"nodes-typed-v4;$fpMentions;$fpCanon;attrs=nodeAttrs;" +
+      "+order+doc+ptype+user+evt+lang+src"
+    val fpEdges = s"edges-fused-v4;$fpMentions;$fpCanon;" +
+      "src=web+ledger+placed+contains+oftype+performed+writtenin+fromsource+fulfills"
 
     // Stage-commit pipelining: independent stages run as concurrent
     // Spark jobs (the scheduler interleaves their tasks), and each
@@ -141,10 +143,25 @@ object Pipeline {
     // golden unit tests.
     val nodes = GraphStore.getOrCompute(spark, storeBase, "nodes",
         partitionByCols = Seq("bucket"), inputFp = fpNodes, lineageAsync = true) {
-      Triples.nodesTyped(Triples.nodes(mentions, canon), Corpus.nodeAttrs(spark, sfDir))
-        .unionByName(Corpus.orderNodes(spark, sfDir)
-          .withColumn("props_arr", map().cast("map<string,array<string>>"))
+      // Multi-adapter node merge (reference: one adapter per source —
+      // uniprot/drug/go/... — all landing in one typed node table):
+      // web-corpus entities + order ledger + document metadata + event
+      // stream + part/type vocabularies, every family schema-declared
+      // in KgSchema and conformance-checked by the same violations
+      // machinery.
+      val plain = Seq(
+        Corpus.orderNodes(spark, sfDir),
+        Corpus.documentNodes(spark, sfDir),
+        Corpus.ptypeNodes(spark, sfDir),
+        Corpus.userNodes(spark, sfDir),
+        Corpus.eventTypeNodes(spark, sfDir),
+        Corpus.languageNodes(spark, sfDir),
+        Corpus.sourceNodes(spark, sfDir))
+        .map(_.withColumn("props_arr", map().cast("map<string,array<string>>"))
           .withColumn("embedding", lit(null).cast("array<float>")))
+        .reduce(_ unionByName _)
+      Triples.nodesTyped(Triples.nodes(mentions, canon), Corpus.nodeAttrs(spark, sfDir))
+        .unionByName(plain)
         .withColumn("bucket", pmod(xxhash64(col("id")), lit(32)))
     }
     mark("nodes")
@@ -180,8 +197,28 @@ object Pipeline {
           map(lit("quantity"), col("quantity").cast("string"),
             lit("extendedprice"), col("extendedprice").cast("string"))
             .as("properties"))
+      // Breadth families (round 3): vocabulary/metadata/event-stream
+      // edges, each with its typed props riding the uniform sink schema.
+      val ofType = Corpus.ofTypeEdges(spark, sfDir)
+        .withColumn("properties", map().cast("map<string,string>"))
+      val performed = Corpus.performedEdges(spark, sfDir)
+        .select(col("subject_id"), col("relation_label"), col("object_id"),
+          map(lit("n_events"), col("n_events").cast("string"),
+            lit("value_milli"), col("value_milli").cast("string"))
+            .as("properties"))
+      val writtenIn = Corpus.writtenInEdges(spark, sfDir)
+        .withColumn("properties", map().cast("map<string,string>"))
+      val fromSource = Corpus.fromSourceEdges(spark, sfDir)
+        .withColumn("properties", map().cast("map<string,string>"))
+      val fulfills = Corpus.fulfillsEdges(spark, sfDir)
+        .select(col("subject_id"), col("relation_label"), col("object_id"),
+          map(lit("n_lines"), col("n_lines").cast("string"),
+            lit("qty_milli"), col("qty_milli").cast("string"))
+            .as("properties"))
       val ids = nodes.select(col("id"))
-      fused.unionByName(placed).unionByName(contains)
+      Seq(fused, placed, contains, ofType, performed, writtenIn,
+          fromSource, fulfills)
+        .reduce(_ unionByName _)
         .join(ids.withColumnRenamed("id", "subject_id"), Seq("subject_id"), "left_semi")
         .join(ids.withColumnRenamed("id", "object_id"), Seq("object_id"), "left_semi")
         .withColumn("bucket", pmod(xxhash64(col("subject_id")), lit(32)))

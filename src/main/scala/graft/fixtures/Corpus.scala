@@ -428,6 +428,121 @@ object Corpus {
         MergeSources.rowSourceCount(qCols).cast("long").as("n_srcs"))
   }
 
+  // -----------------------------------------------------------------
+  // Breadth block 2 (round 3): events/documents/part vocab families —
+  // takes the declared schema to 14 node types (reference parity:
+  // schema_config.yaml declares 14) and 17 edge families.
+  // -----------------------------------------------------------------
+
+  /** Part-type vocabulary nodes (TYPE:name). */
+  def ptypeNodes(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "part").select(col("p_type")).distinct()
+      .select(
+        concat(lit("TYPE:"), regexp_replace(col("p_type"), " ", "_")).as("id"),
+        lit("ptype").as("label"),
+        map(lit("name"), col("p_type")).as("props"))
+
+  /** User nodes (USER:k) aggregated from the event stream, with int
+    * n_events, int micro-unit activity value (per-row integerization
+    * BEFORE the sum keeps the prop summation-order-independent) and a
+    * derived bool. */
+  def userNodes(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000 + 0.5).cast("long")).as("value_milli"))
+      .select(
+        concat(lit("USER:"), col("user_id")).as("id"),
+        lit("user").as("label"),
+        map(
+          lit("name"), concat(lit("user "), col("user_id")),
+          lit("n_events"), col("n_events").cast("string"),
+          lit("total_value_milli"), col("value_milli").cast("string"),
+          lit("is_active"), (col("n_events") >= 3).cast("string")).as("props"))
+
+  /** Event-type vocabulary nodes (EVT:name). */
+  def eventTypeNodes(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events").select(col("event_type")).distinct()
+      .select(
+        concat(lit("EVT:"), col("event_type")).as("id"),
+        lit("event_type").as("label"),
+        map(lit("name"), col("event_type")).as("props"))
+
+  /** Language nodes (LANG:code) with int document counts. */
+  def languageNodes(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .select(
+        concat(lit("LANG:"), col("lang")).as("id"),
+        lit("language").as("label"),
+        map(
+          lit("name"), col("lang"),
+          lit("n_docs"), col("n_docs").cast("string")).as("props"))
+
+  /** Document-source vocabulary nodes (SRC:name). */
+  def sourceNodes(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents").select(col("source")).distinct()
+      .select(
+        concat(lit("SRC:"), regexp_replace(col("source"), " ", "_")).as("id"),
+        lit("source").as("label"),
+        map(lit("name"), col("source")).as("props"))
+
+  /** (PART-canonical, of_type, TYPE) edges — the canonical part's type,
+    * same canonical-key choice as brandedAsEdges. */
+  def ofTypeEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = table(spark, sfDir, "part")
+    val groups = part.groupBy(col("p_name")).agg(
+      regexp_replace(min(concat(lit("PARTRAW:"), col("p_partkey"))), "^PARTRAW:", "")
+        .cast("long").as("minkey"))
+    groups.join(part, groups("minkey") === part("p_partkey")).select(
+      concat(lit("PART:"), col("minkey")).as("subject_id"),
+      lit("of_type").as("relation_label"),
+      concat(lit("TYPE:"), regexp_replace(col("p_type"), " ", "_")).as("object_id"))
+  }
+
+  /** (USER, performed, EVT) edges aggregated per (user, event type):
+    * int event count + int micro-unit value sum. */
+  def performedEdges(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000 + 0.5).cast("long")).as("value_milli"))
+      .select(
+        concat(lit("USER:"), col("user_id")).as("subject_id"),
+        lit("performed").as("relation_label"),
+        concat(lit("EVT:"), col("event_type")).as("object_id"),
+        col("n_events"), col("value_milli"))
+
+  /** (DOC, written_in, LANG) edges. */
+  def writtenInEdges(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents").select(
+      concat(lit("DOC:"), col("doc_id")).as("subject_id"),
+      lit("written_in").as("relation_label"),
+      concat(lit("LANG:"), col("lang")).as("object_id"))
+
+  /** (DOC, from_source, SRC) edges. */
+  def fromSourceEdges(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents").select(
+      concat(lit("DOC:"), col("doc_id")).as("subject_id"),
+      lit("from_source").as("relation_label"),
+      concat(lit("SRC:"), regexp_replace(col("source"), " ", "_")).as("object_id"))
+
+  /** (SUPP, fulfills, ORDER) edges from the line-item ledger: int line
+    * count + int micro-unit quantity sum. */
+  def fulfillsEdges(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .groupBy(col("l_suppkey"), col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(floor(col("l_quantity") * 1000 + 0.5).cast("long")).as("qty_milli"))
+      .select(
+        concat(lit("SUPP:"), col("l_suppkey")).as("subject_id"),
+        lit("fulfills").as("relation_label"),
+        concat(lit("ORDER:"), col("l_orderkey")).as("object_id"),
+        col("n_lines"), col("qty_milli"))
+
   /** Same-name chain edges over parts: consecutive partkeys within each
     * p_name group, i.e. a path graph per name (NOT a clique) — the
     * connected-components stage must actually propagate labels along

@@ -169,6 +169,42 @@ object RelationalQueries {
           count(when(col("field") === "DESC", lit(1))).as("n_desc"))
         .select("entry", "name", "src", "lang", "nchars", "n_desc")
     }),
+    // Breadth block 2 (round 3): one census over every new node/edge
+    // family — per-label cardinalities of the 14-type graph's
+    // vocabulary, event-stream and document-metadata layers (each
+    // builder also feeds the Pipeline store).
+    "q_graph_census" -> ((s, dir) => {
+      tune(s)
+      val nodeFams = Seq(
+        Corpus.ptypeNodes(s, dir), Corpus.userNodes(s, dir),
+        Corpus.eventTypeNodes(s, dir), Corpus.languageNodes(s, dir),
+        Corpus.sourceNodes(s, dir))
+        .map(_.select(col("label"), col("id").as("k")))
+      val edgeFams = Seq(
+        Corpus.ofTypeEdges(s, dir), Corpus.performedEdges(s, dir),
+        Corpus.writtenInEdges(s, dir), Corpus.fromSourceEdges(s, dir),
+        Corpus.fulfillsEdges(s, dir))
+        .map(_.select(col("relation_label").as("label"),
+          concat(col("subject_id"), lit(">"), col("object_id")).as("k")))
+      (nodeFams ++ edgeFams).reduce(_ unionByName _)
+        .groupBy("label").agg(count(lit(1)).as("n"))
+    }),
+    // Event-stream edges with typed int props (value integerized
+    // per-row BEFORE the sum — summation-order-independent).
+    "q_user_events" -> ((s, dir) => {
+      tune(s)
+      Corpus.performedEdges(s, dir)
+    }),
+    // Document-metadata edges carrying the language node's int prop.
+    "q_doc_graph" -> ((s, dir) => {
+      tune(s)
+      Corpus.writtenInEdges(s, dir).join(
+        Corpus.languageNodes(s, dir)
+          .select(col("id").as("object_id"),
+            col("props")("n_docs").cast("long").as("n_docs")),
+        "object_id")
+        .select("subject_id", "relation_label", "object_id", "n_docs")
+    }),
     // J1/J2: the signature ordered full-outer fold + column fusion.
     "q_merge_edges" -> ((s, dir) => {
       tune(s)
@@ -313,6 +349,31 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_census" ->
+      """SELECT 'ptype' AS "label", CAST(count(DISTINCT p_type) AS BIGINT) n FROM part
+        |UNION ALL SELECT 'user', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+        |UNION ALL SELECT 'event_type', CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+        |UNION ALL SELECT 'language', CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'source', CAST(count(DISTINCT source) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'of_type', CAST(count(DISTINCT p_name) AS BIGINT) FROM part
+        |UNION ALL SELECT 'performed', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |UNION ALL SELECT 'written_in', CAST(count(*) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'from_source', CAST(count(*) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'fulfills', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT l_suppkey, l_orderkey FROM lineitem)""".stripMargin,
+    "q_user_events" ->
+      """SELECT 'USER:'||user_id subject_id, 'performed' relation_label,
+        |       'EVT:'||event_type object_id,
+        |       CAST(count(*) AS BIGINT) n_events,
+        |       CAST(sum(CAST(floor("value"*1000+0.5) AS BIGINT)) AS BIGINT) value_milli
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_doc_graph" ->
+      """WITH l AS (SELECT lang, CAST(count(*) AS BIGINT) n_docs
+        |           FROM documents GROUP BY 1)
+        |SELECT 'DOC:'||d.doc_id subject_id, 'written_in' relation_label,
+        |       'LANG:'||d.lang object_id, l.n_docs
+        |FROM documents d JOIN l ON l.lang = d.lang""".stripMargin,
     // Per-pair per-source rows rebuilt directly: median over the present
     // sources' sums == the engine's row-wise median after the 6-way
     // fold; arg_min(m, i) == first-non-null in source order.

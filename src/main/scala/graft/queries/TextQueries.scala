@@ -67,6 +67,18 @@ object TextQueries {
     "q_simhash_neardup" -> ((s, dir) => {
       tune(s)
       DedupOps.simhashNearDupPairs(docsWithDups(s, dir), "doc_id", "text")
+    }),
+    // The dedup family as typed KG edges (KgSchema near_dup_of:
+    // document -> document with int overlap props) over the raw table.
+    "q_dup_edges" -> ((s, dir) => {
+      tune(s)
+      DedupOps.minhashNearDupPairs(
+          docs(s, dir).select("doc_id", "text"), "doc_id", "text")
+        .select(
+          concat(lit("DOC:"), col("id1")).as("subject_id"),
+          lit("near_dup_of").as("relation_label"),
+          concat(lit("DOC:"), col("id2")).as("object_id"),
+          col("common"), col("size1"), col("size2"))
     })
   )
 
@@ -84,13 +96,14 @@ object TextQueries {
       s"(a, b) -> (a * 131 + b) % $m))"
 
   /** DuckDB mirror of minhashNearDupPairs(n=3, k=64, r=2, tau=0.5),
-    * generated from the SAME hashParams coefficients. */
-  private val minhashSql: String = {
+    * generated from the SAME hashParams coefficients, over an arbitrary
+    * (doc_id, text) source CTE. */
+  private def minhashSqlOver(srcSql: String): String = {
     val perms = DedupOps.hashParams(64).map { case (a, b) =>
       s"list_min(list_transform(shc, x -> ($a * x + $b) % 2147483647))"
     }.mkString("[\n  ", ",\n  ", "]")
     s"""WITH d AS (
-       |  $dupsSql),
+       |  $srcSql),
        |codes AS (SELECT doc_id, ${codesSql(1048573L)} cs FROM d),
        |shc AS (
        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(cs) - 2),
@@ -114,6 +127,15 @@ object TextQueries {
        |SELECT id1, id2, common, size1, size2
        |FROM ver WHERE 3 * common >= size1 + size2""".stripMargin
   }
+
+  private val minhashSql: String = minhashSqlOver(dupsSql)
+
+  /** near_dup_of edges over the RAW documents table (no injected dups)
+    * — the dedup family emitted as first-class typed KG edges. */
+  private val dupEdgesSql: String =
+    s"""SELECT 'DOC:'||id1 subject_id, 'near_dup_of' relation_label,
+       |       'DOC:'||id2 object_id, common, size1, size2
+       |FROM (${minhashSqlOver("SELECT doc_id, text FROM documents")})""".stripMargin
 
   /** DuckDB mirror of simhashNearDupPairs (31-bit signature, 4×8-bit
     * chunk banding, hamming <= 3). */
@@ -142,6 +164,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_minhash_neardup" -> minhashSql,
+    "q_dup_edges" -> dupEdgesSql,
     "q_simhash_neardup" -> simhashSql,
     "q_doc_stats" ->
       s"""SELECT doc_id,

@@ -61,7 +61,18 @@ object KgSchema {
     "segment" -> NodeType("segment", "SEG:", Map("name" -> PStr)),
     "document" -> NodeType("document", "DOC:",
       Map("name" -> PStr, "lang" -> PStr, "n_chars" -> PInt,
-        "is_english" -> PBool)))
+        "is_english" -> PBool)),
+    // Breadth block 2 (round 3) — event-stream and document-metadata
+    // families; 14 node types total, the reference's declared count
+    // (schema_config.yaml: 14 node types).
+    "ptype" -> NodeType("ptype", "TYPE:", Map("name" -> PStr)),
+    "user" -> NodeType("user", "USER:",
+      Map("name" -> PStr, "n_events" -> PInt,
+        "total_value_milli" -> PInt, "is_active" -> PBool)),
+    "event_type" -> NodeType("event_type", "EVT:", Map("name" -> PStr)),
+    "language" -> NodeType("language", "LANG:",
+      Map("name" -> PStr, "n_docs" -> PInt)),
+    "source" -> NodeType("source", "SRC:", Map("name" -> PStr)))
 
   /** Edge types with endpoint-label constraints
     * (schema_config.yaml:208-231 pattern). Fused multi-source props
@@ -87,7 +98,17 @@ object KgSchema {
     "in_segment" -> EdgeType("in_segment", "customer", "segment", Map.empty),
     "from_nation" -> EdgeType("from_nation", "supplier", "nation", Map.empty),
     "rated" -> EdgeType("rated", "supplier", "product",
-      Map("med_qty_milli" -> PInt, "n_srcs" -> PInt)))
+      Map("med_qty_milli" -> PInt, "n_srcs" -> PInt)),
+    // Breadth block 2 (round 3).
+    "of_type" -> EdgeType("of_type", "product", "ptype", Map.empty),
+    "performed" -> EdgeType("performed", "user", "event_type",
+      Map("n_events" -> PInt, "value_milli" -> PInt)),
+    "written_in" -> EdgeType("written_in", "document", "language", Map.empty),
+    "from_source" -> EdgeType("from_source", "document", "source", Map.empty),
+    "fulfills" -> EdgeType("fulfills", "supplier", "order",
+      Map("n_lines" -> PInt, "qty_milli" -> PInt)),
+    "near_dup_of" -> EdgeType("near_dup_of", "document", "document",
+      Map("common" -> PInt, "size1" -> PInt, "size2" -> PInt)))
 
   /** The scalar-prop keys a label may carry in its `props` map. */
   private def scalarKeys(label: String): Seq[String] =
