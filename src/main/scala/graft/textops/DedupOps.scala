@@ -105,7 +105,9 @@ object DedupOps {
   val P = 2147483647L // 2^31 - 1: shingle / permutation space
 
   /** Per-token polynomial char hash mod m:
-    * fold (h*131 + ord(char)) % m, left to right. */
+    * fold (h*131 + ord(char)) % m, left to right. Composable form —
+    * kept as the executable specification of
+    * [[graft.functions.TextHashExprs.tokenCodeOf]] (TextHashSpec). */
   def tokenCode(t: Column, m: Long): Column =
     when(length(t) === 0, lit(0L)).otherwise(
       aggregate(
@@ -116,18 +118,25 @@ object DedupOps {
   /** Distinct n-token shingle CODES per doc: per-token char codes once,
     * then a rolling polynomial over each n-window — 8 bytes per shingle
     * instead of the string (the shuffle-key discipline at 100 TB), and
-    * portable to the oracle engine. */
+    * portable to the oracle engine. Native fused kernel;
+    * [[shingleCodesHof]] is the composable form it matches bit-for-bit. */
   def shingleCodes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        TextOps.let(
-          transform(TextOps.tokens(col(textCol)), t => tokenCode(t, CHAR_M)),
-          codes => array_distinct(
-            when(size(codes) >= n,
-              transform(sequence(lit(0), size(codes) - n), i =>
-                (0 until n).foldLeft(lit(0L))((h, j) =>
-                  (h * 8191L + element_at(codes, (i + j + 1).cast("int"))) % P)))
-              .otherwise(array().cast("array<long>")))).as("shc"))
+        graft.functions.TextHashExprs.shingleCodesCol(
+          TextOps.tokens(col(textCol)), n, CHAR_M, P).as("shc"))
       .filter(size(col("shc")) > 0)
+
+  /** The higher-order-function formulation of the shingle-code column —
+    * the executable specification of the native kernel (TextHashSpec). */
+  def shingleCodesHof(textCol: Column, n: Int): Column =
+    TextOps.let(
+      transform(TextOps.tokens(textCol), t => tokenCode(t, CHAR_M)),
+      codes => array_distinct(
+        when(size(codes) >= n,
+          transform(sequence(lit(0), size(codes) - n), i =>
+            (0 until n).foldLeft(lit(0L))((h, j) =>
+              (h * 8191L + element_at(codes, (i + j + 1).cast("int"))) % P)))
+          .otherwise(array().cast("array<long>"))))
 
   /** MinHash permutation coefficients h_i(x) = (a_i * x + b_i) mod P —
     * fixed and public so the oracle SQL is generated from the SAME
@@ -140,15 +149,19 @@ object DedupOps {
     * the code array) — minhashing is embarrassingly parallel and must
     * not shuffle at 100 TB. Output: (doc_id, shc, sig array<long>[k]). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int): DataFrame = {
-    val params = hashParams(k)
+                        n: Int, k: Int): DataFrame =
     shingleCodes(docs, idCol, textCol, n)
       .select(col("doc_id"), col("shc"),
-        TextOps.let(col("shc"),
-          xs => array(params.map { case (a, b) =>
-            array_min(transform(xs, x => (lit(a) * x + lit(b)) % lit(P)))
-          }: _*)).as("sig"))
-  }
+        graft.functions.TextHashExprs.minhashSigCol(
+          col("shc"), hashParams(k), P).as("sig"))
+
+  /** The k-fold array_min formulation of the MinHash signature — the
+    * executable specification of the native kernel (TextHashSpec). */
+  def minhashSigHof(shc: Column, k: Int): Column =
+    TextOps.let(shc,
+      xs => array(hashParams(k).map { case (a, b) =>
+        array_min(transform(xs, x => (lit(a) * x + lit(b)) % lit(P)))
+      }: _*))
 
   /** LSH candidate pairs from banded signatures (bands of r rows), then
     * EXACT Jaccard verification >= tau over the shingle-code sets
@@ -186,6 +199,13 @@ object DedupOps {
     * Pure column expressions — whole-stage codegen, no typed map, and
     * bit-identical in the oracle engine. */
   def simhashSignature(textCol: Column, bits: Int = 31): Column =
+    graft.functions.TextHashExprs.simhashSigCol(
+      graft.functions.TextHashExprs.tokenCodesCol(
+        TextOps.tokens(textCol), P), bits)
+
+  /** The per-bit aggregate formulation of SimHash — the executable
+    * specification of the native kernel (TextHashSpec). */
+  def simhashSigHof(textCol: Column, bits: Int = 31): Column =
     TextOps.let(
       transform(TextOps.tokens(textCol), t => tokenCode(t, P)),
       hs => (0 until bits).map { b =>
