@@ -7,6 +7,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** A (doc_id, text_hash) pair flowing through the streaming dedup. */
 final case class HashedDoc(doc_id: Long, text_hash: Long)
 
+/** A raw page flowing into the streaming KG front-end. */
+final case class RawPage(url: String, html: Array[Byte])
+
 /** Streaming-shaped transforms. The reference is pure batch (SURVEY.md
   * §2.11) so streaming here is additive surface: the same windowed
   * aggregation works over a batch DataFrame and a readStream source —
@@ -36,6 +39,20 @@ object StreamOps {
   /** Watermarked variant for append-mode streaming sinks. */
   def hourlyAggStreaming(events: DataFrame): DataFrame =
     hourlyAgg(events.withWatermark("ts", "2 hours"))
+
+  /** The flagship pipeline's front half (stage 1 extract + stage 2
+    * broadcast-trie mention linking) applied to a STREAMING page
+    * source: both stages are map-only over the fact side (a UDF
+    * projection and a `mapPartitions` scan against the broadcast
+    * dictionary trie), so the identical code path runs batch or
+    * streaming — micro-batched continuous KG construction over an
+    * arriving crawl, no shuffle before the sink. Equivalence to the
+    * batch path is spec-asserted (StoreStreamSpec). */
+  def mentionsStream(pages: DataFrame, dict: DataFrame): DataFrame = {
+    val text = pages.select(col("url"),
+      graft.extract.HtmlText.htmlText(col("html")).as("text"))
+    graft.link.Linker.mentions(text, dict)
+  }
 
   /** Streaming exact-dedup with CUSTOM STATE (flatMapGroupsWithState —
     * SURVEY §2.11's KeyValueGroupedDataset surface): the first document

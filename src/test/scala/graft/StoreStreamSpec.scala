@@ -107,6 +107,32 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(out == Set(HashedDoc(1L, 10L), HashedDoc(2L, 20L), HashedDoc(7L, 30L)))
   }
 
+  test("streaming KG front-end (extract + trie linking) matches the batch path across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.RawPage
+    import graft.fixtures.Corpus
+    implicit val sqlCtx = spark.sqlContext
+    val pages = Corpus.pages(spark, TestSpark.sf0001)
+      .select($"url", $"html").limit(200)
+      .as[RawPage].collect()
+    val dict = Corpus.aliasDict(spark, TestSpark.sf0001)
+
+    val in = MemoryStream[RawPage]
+    val q = StreamOps.mentionsStream(in.toDF(), dict).writeStream
+      .format("memory").queryName("kg_front_out").outputMode("append").start()
+    val (b1, b2) = pages.splitAt(pages.length / 2)
+    in.addData(b1.toSeq); q.processAllAvailable()
+    in.addData(b2.toSeq); q.processAllAvailable()
+    val streamed = spark.table("kg_front_out")
+    val batch = graft.link.Linker.mentions(
+      spark.createDataset(pages.toSeq).toDF()
+        .select($"url", graft.extract.HtmlText.htmlText($"html").as("text")),
+      dict)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    q.stop()
+  }
+
   test("streaming dedup agrees with batch exactDedup canonical ids") {
     import graft.streaming.HashedDoc
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
