@@ -161,9 +161,44 @@ object HtmlText {
   def escape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  /** Column form: registered Scala UDF (JVM, one call per row; the single
-    * genuinely non-relational step the north star allows). */
+  /** Column form: registered Scala UDF — kept as the executable
+    * specification of [[HtmlExtract]] (HtmlTextSpec asserts identity). */
   val extractUdf = udf((html: Array[Byte]) => extract(html))
 
-  def htmlText(html: Column): Column = extractUdf(html)
+  /** Native expression form of the extractor: the SAME [[extract]]
+    * function, but invoked directly from generated code — no UDF
+    * encoder round-trip per row, and the engine becomes fully UDF-free
+    * (SURVEY §2.11's "one sanctioned UDF" is now an Expression too).
+    * Byte-identity per url is still enforced end-to-end by the
+    * pipeline's xxhash64 audit column. */
+  case class HtmlExtract(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs binary, got ${other.simpleString}")
+    }
+    override def dataType: DataType = StringType
+    override def prettyName: String = "html_extract"
+    override def nullSafeEval(a: Any): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        extract(a.asInstanceOf[Array[Byte]]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.extract.HtmlText.extract($a));")
+    override protected def withNewChildInternal(
+        newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression =
+      copy(child = newChild)
+  }
+
+  def htmlText(html: Column): Column = {
+    import org.apache.spark.sql.graftshim.shim
+    shim.column(HtmlExtract(shim.expression(html)))
+  }
 }

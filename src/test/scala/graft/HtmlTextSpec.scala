@@ -67,4 +67,17 @@ class HtmlTextSpec extends AnyFunSuite {
     val html = b(s"<p>$text</p>")
     assert(HtmlText.extract(html) == text)
   }
+
+  test("native HtmlExtract expression is byte-identical to the UDF form on fixture pages") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val bad = graft.fixtures.Corpus.pages(spark, TestSpark.sf0001)
+      .select(
+        HtmlText.htmlText(col("html")).as("nat"),
+        HtmlText.extractUdf(col("html")).as("udf"))
+      .filter(col("nat") =!= col("udf") ||
+        xxhash64(col("nat")) =!= xxhash64(col("udf")))
+      .count()
+    assert(bad === 0L)
+  }
 }
