@@ -73,6 +73,28 @@ object Ivf {
   def autoC(n: Long, targetList: Long = 2048L): Int =
     math.max(4L, math.min(1L << 20, (n + targetList - 1) / targetList)).toInt
 
+  /** Materialize the inverted lists as a cid-partitioned parquet layout
+    * — the on-disk form of the 10^12-row scale path: a probe of
+    * `nprobe` lists reads ONLY those partitions (Catalyst partition
+    * pruning; spec-asserted via PartitionFilters in the scan). Returns
+    * the centroids used for assignment. */
+  def writePartitionedLists(corpus: DataFrame, dim: Int, path: String,
+                            c: Int = 0, iters: Int = 5,
+                            targetList: Long = 2048L,
+                            centroids: Option[Array[Array[Double]]] = None)
+      : Array[Array[Double]] = {
+    val cc = if (c > 0) c else autoC(corpus.count(), targetList)
+    val cents = centroids.getOrElse(trainCentroids(corpus, dim, cc, iters))
+    corpus.select(col("id"), col("emb"), argmin(col("emb"), cents).as("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    cents
+  }
+
+  /** Read back ONLY the probed inverted lists (a partition-pruned scan). */
+  def readProbedLists(spark: org.apache.spark.sql.SparkSession, path: String,
+                      probeCids: Seq[Int]): DataFrame =
+    spark.read.parquet(path).filter(col("cid").isin(probeCids: _*))
+
   /** IVF approximate cosine top-k over `corpus` (id, emb): train (or
     * reuse) centroids, assign inverted lists, probe the `nprobe`
     * nearest lists per query, score candidates exactly.

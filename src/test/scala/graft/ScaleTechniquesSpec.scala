@@ -47,6 +47,33 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF inverted lists written cid-partitioned are read with partition pruning") {
+    val emb = spark.read
+      .parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_lists_").toString
+    try {
+      val cents = graft.sim.Ivf.writePartitionedLists(
+        emb, dim = 64, path, c = 8, iters = 2)
+      assert(cents.length === 8)
+      val probed = graft.sim.Ivf.readProbedLists(spark, path, Seq(1, 3))
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+        s"expected a partition-pruned scan, plan:\n$plan")
+      // the probe reads exactly the two lists' rows
+      val full = spark.read.parquet(path)
+      val expected = full.filter(col("cid").isin(1, 3)).count()
+      assert(probed.count() === expected && expected > 0)
+      assert(probed.count() < full.count())
+    } finally {
+      import java.nio.file.{Files => F, Path}
+      import java.util.Comparator
+      F.walk(Path.of(path)).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => F.deleteIfExists(p))
+    }
+  }
+
   test("salted topKCount is bit-identical to unsalted on a synthetic hub key") {
     // one hub key with 60k witness rows (with duplicates) + long tail
     val hub = spark.range(60000).select(
