@@ -49,6 +49,26 @@ class TextHashSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("token codes: 400 random unicode strings (incl. supplementary plane) match the HOF form") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val charGen: Gen[String] = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf(" ", "é", "中", "ß", "́"),
+      Gen.oneOf("😀", "🜁", "😁")) // supplementary-plane
+    val strGen = Gen.chooseNum(0, 12)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val samples = (0 until 400).flatMap(i =>
+      strGen(Gen.Parameters.default, Seed(i.toLong)))
+    val bad = samples.toDF("t").select(
+        graft.functions.TextHashExprs
+          .tokenCodesCol(array(col("t")), 1048573L)(0).as("nat"),
+        DedupOps.tokenCode(col("t"), 1048573L).as("hof"))
+      .filter(col("nat") =!= col("hof"))
+      .count()
+    assert(bad === 0L)
+  }
+
   test("token codes: empty, unicode and supplementary-plane tokens match the HOF form") {
     val weird = Seq("", "a", "hello", "héllo", "日本語", "a😀b", "x y")
       .toDF("t")
