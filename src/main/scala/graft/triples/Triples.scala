@@ -134,6 +134,16 @@ object Triples {
     // the exact page count alongside. Input rows are one-per-witness-url
     // by construction (pageSets is grouped by url hash and the per-page
     // entity sets are distinct), so `total` IS the distinct page count.
+    // Typed aggregates run as ObjectHashAggregate, whose partial phase
+    // falls back to sort-based beyond
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+    // in-memory groups (default 128). That default is the RIGHT trade
+    // here and is left alone deliberately: worst-case state is
+    // cap(1024) × ~50 B ≈ 50 KB per group, so thousands of hash-resident
+    // groups per task could hold hundreds of MB; the sort fallback is
+    // spill-safe and its input is the already-hash-keyed pair stream.
+    // If the cap is lowered (say 64), raising the threshold becomes the
+    // cheap win — revisit the two knobs together, not separately.
     val topk = graft.functions.BoundedAggs.topKCount(evidenceCap)
     val edges = relationPairs(pageSets)
       .groupBy("se", "relation_label", "oe")
