@@ -169,18 +169,29 @@ object RelationalQueries {
           count(when(col("field") === "DESC", lit(1))).as("n_desc"))
         .select("entry", "name", "src", "lang", "nchars", "n_desc")
     }),
-    // Breadth block 2 (round 3): one census over every new node/edge
-    // family — per-label cardinalities of the 14-type graph's
-    // vocabulary, event-stream and document-metadata layers (each
-    // builder also feeds the Pipeline store).
+    // One census over EVERY relationally-derived node/edge family of
+    // the 14-type / 17-family schema — per-label cardinalities in one
+    // driver-visible artifact (the mention-derived entity nodes and
+    // fused web edges have their own value-level oracles: q_nodes,
+    // q_edges_props; near-dup edges: q_dup_edges).
     "q_graph_census" -> ((s, dir) => {
       tune(s)
+      val canon = Corpus.canonicalIds(s, dir)
       val nodeFams = Seq(
+        Corpus.supplierNodes(s, dir), Corpus.regionNodes(s, dir),
+        Corpus.brandNodes(s, dir), Corpus.segmentNodes(s, dir),
+        Corpus.documentNodes(s, dir), Corpus.orderNodes(s, dir),
         Corpus.ptypeNodes(s, dir), Corpus.userNodes(s, dir),
         Corpus.eventTypeNodes(s, dir), Corpus.languageNodes(s, dir),
         Corpus.sourceNodes(s, dir))
         .map(_.select(col("label"), col("id").as("k")))
       val edgeFams = Seq(
+        Corpus.inRegionEdges(s, dir), Corpus.placedEdges(s, dir),
+        Corpus.inSegmentEdges(s, dir), Corpus.fromNationEdges(s, dir),
+        Corpus.brandedAsEdges(s, dir),
+        Corpus.supplyEdges(s, dir, canon),
+        Corpus.containsEdges(s, dir, canon),
+        Corpus.ratedEdges(s, dir, canon),
         Corpus.ofTypeEdges(s, dir), Corpus.performedEdges(s, dir),
         Corpus.writtenInEdges(s, dir), Corpus.fromSourceEdges(s, dir),
         Corpus.fulfillsEdges(s, dir))
@@ -350,11 +361,35 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_graph_census" ->
-      """SELECT 'ptype' AS "label", CAST(count(DISTINCT p_type) AS BIGINT) n FROM part
+      """WITH pc AS (
+        |  SELECT p_partkey, min(p_partkey) OVER (PARTITION BY p_name) AS pid
+        |  FROM part)
+        |SELECT 'supplier' AS "label", CAST(count(*) AS BIGINT) n FROM supplier
+        |UNION ALL SELECT 'region', CAST(count(*) AS BIGINT) FROM region
+        |UNION ALL SELECT 'brand', CAST(count(DISTINCT p_brand) AS BIGINT) FROM part
+        |UNION ALL SELECT 'segment', CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer
+        |UNION ALL SELECT 'document', CAST(count(*) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'order', CAST(count(*) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'ptype', CAST(count(DISTINCT p_type) AS BIGINT) FROM part
         |UNION ALL SELECT 'user', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
         |UNION ALL SELECT 'event_type', CAST(count(DISTINCT event_type) AS BIGINT) FROM events
         |UNION ALL SELECT 'language', CAST(count(DISTINCT lang) AS BIGINT) FROM documents
         |UNION ALL SELECT 'source', CAST(count(DISTINCT source) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'in_region', CAST(count(*) AS BIGINT) FROM nation
+        |UNION ALL SELECT 'placed', CAST(count(*) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'in_segment', CAST(count(*) AS BIGINT) FROM customer
+        |UNION ALL SELECT 'from_nation', CAST(count(*) AS BIGINT) FROM supplier
+        |UNION ALL SELECT 'branded_as', CAST(count(DISTINCT p_name) AS BIGINT) FROM part
+        |UNION ALL SELECT 'supplies', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT l.l_suppkey, pc.pid
+        |        FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey)
+        |UNION ALL SELECT 'contains', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT l.l_orderkey, pc.pid
+        |        FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey)
+        |UNION ALL SELECT 'rated', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT l.l_suppkey, pc.pid
+        |        FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey
+        |        WHERE l.l_linenumber BETWEEN 1 AND 6)
         |UNION ALL SELECT 'of_type', CAST(count(DISTINCT p_name) AS BIGINT) FROM part
         |UNION ALL SELECT 'performed', CAST(count(*) AS BIGINT)
         |  FROM (SELECT DISTINCT user_id, event_type FROM events)
