@@ -33,6 +33,35 @@ object BoundedAggs {
     * non-null input row count. */
   final case class TopKState(items: Array[String], total: Long)
 
+  /** Compare two strings in UTF-8 binary (= code point) order — the
+    * collation Spark's UTF8String and DuckDB's list_sort use. Java's
+    * String.compareTo orders by UTF-16 code unit, which ranks
+    * U+E000..U+FFFF ABOVE supplementary-plane characters (whose high
+    * surrogates are 0xD800-0xDBFF) — the opposite of byte order; the
+    * "kept K smallest" set would silently diverge from the oracle on
+    * such values. Allocation-free: walks code points only past the
+    * common prefix. Unpaired surrogates compare by their own value,
+    * which equals their 3-byte UTF-8 encoding's rank. */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val la = a.length
+    val lb = b.length
+    val n = math.min(la, lb)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i)
+      val cb = b.charAt(i)
+      if (ca != cb) {
+        val cpa = if (Character.isHighSurrogate(ca) && i + 1 < la &&
+          Character.isLowSurrogate(a.charAt(i + 1))) a.codePointAt(i) else ca.toInt
+        val cpb = if (Character.isHighSurrogate(cb) && i + 1 < lb &&
+          Character.isLowSurrogate(b.charAt(i + 1))) b.codePointAt(i) else cb.toInt
+        return Integer.compare(cpa, cpb)
+      }
+      i += 1
+    }
+    Integer.compare(la, lb)
+  }
+
   /** Binary search insertion point in a sorted array; returns
     * (index << 1) | (1 if exact match else 0). */
   private def searchSorted(a: Array[String], n: Int, s: String): Int = {
@@ -40,7 +69,7 @@ object BoundedAggs {
     var hi = n
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      val c = a(mid).compareTo(s)
+      val c = utf8Compare(a(mid), s)
       if (c == 0) return (mid << 1) | 1
       else if (c < 0) lo = mid + 1
       else hi = mid
@@ -61,7 +90,7 @@ object BoundedAggs {
       val total = b.total + 1
       // Fast path once the buffer is full: anything >= the current max
       // is either a duplicate of the max or can never be kept.
-      if (n >= k && items(n - 1).compareTo(s) <= 0) return TopKState(items, total)
+      if (n >= k && utf8Compare(items(n - 1), s) <= 0) return TopKState(items, total)
       val r = searchSorted(items, n, s)
       if ((r & 1) == 1) return TopKState(items, total) // duplicate among kept
       val idx = r >> 1
@@ -81,7 +110,7 @@ object BoundedAggs {
         val cmp =
           if (i >= x.length) 1
           else if (j >= y.length) -1
-          else x(i).compareTo(y(j))
+          else utf8Compare(x(i), y(j))
         if (cmp < 0) { out(o) = x(i); i += 1; o += 1 }
         else if (cmp > 0) { out(o) = y(j); j += 1; o += 1 }
         else { out(o) = x(i); i += 1; j += 1; o += 1 }
@@ -130,4 +159,59 @@ object BoundedAggs {
 
   def pipeSetUnionCapped(k: Int): UserDefinedFunction =
     udaf(new PipeSetUnionCappedAgg(k), Encoders.STRING)
+
+  /** Posting-list state: collected ids (stops growing past cap+1) +
+    * EXACT input row count. */
+  final case class LongListState(items: Array[Long], total: Long)
+
+  /** Bounded posting-list collection for inverted-index builds: keeps
+    * at most `cap`+1 collected ids per group — one element beyond the
+    * cap, exactly enough to witness overflow — while the `total` field
+    * counts every input row exactly. The scale contract: a stopword
+    * shingle whose posting list is O(corpus) (10^6+ documents) holds
+    * O(cap) reducer state instead of buffering the full list the way
+    * `collect_list` does, and the caller detects it via total > cap and
+    * drops it. For groups with total <= cap the kept list is COMPLETE
+    * (no truncation can have happened), emitted sorted ascending.
+    *
+    * Input rows must be distinct per group for `total` to be a distinct
+    * count (the inverted-index caller guarantees one (doc, shingle) row
+    * per doc via per-doc array_distinct). Which elements survive an
+    * overflowing group is partition-order-dependent — by design: those
+    * groups are only ever DETECTED (and excluded), never consumed. */
+  final class CappedLongListAgg(cap: Int)
+      extends Aggregator[Long, LongListState, LongListState] {
+    require(cap > 0, "cap must be positive")
+
+    override def zero: LongListState = LongListState(Array.empty, 0L)
+
+    override def reduce(b: LongListState, x: Long): LongListState =
+      if (b.items.length > cap) LongListState(b.items, b.total + 1)
+      else LongListState(b.items :+ x, b.total + 1)
+
+    override def merge(a: LongListState, c: LongListState): LongListState = {
+      val keep = math.min(a.items.length + c.items.length, cap + 1)
+      val out = new Array[Long](keep)
+      val fromA = math.min(a.items.length, keep)
+      System.arraycopy(a.items, 0, out, 0, fromA)
+      System.arraycopy(c.items, 0, out, fromA, keep - fromA)
+      LongListState(out, a.total + c.total)
+    }
+
+    override def finish(r: LongListState): LongListState = {
+      // sorted output only matters for complete (non-overflowed) lists,
+      // but sorting <= cap+1 elements unconditionally is trivial
+      val s = r.items.clone()
+      java.util.Arrays.sort(s)
+      LongListState(s, r.total)
+    }
+    override def bufferEncoder: Encoder[LongListState] =
+      Encoders.product[LongListState]
+    override def outputEncoder: Encoder[LongListState] =
+      Encoders.product[LongListState]
+  }
+
+  /** Column-usable UDAF over a long column: struct(items, total). */
+  def cappedLongList(cap: Int): UserDefinedFunction =
+    udaf(new CappedLongListAgg(cap), Encoders.scalaLong)
 }

@@ -340,6 +340,13 @@ object CoreQueries {
       |FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
       |JOIN mentioned_custs m ON m.o_custkey = c.c_custkey""".stripMargin
 
+  /** Oracle mirror of the engine's bounded witness aggregation
+    * (BoundedAggs.topKCount, cap = Triples.DefaultEvidenceCap = 1024):
+    * each SOURCE's evidence list is the 1024 smallest distinct urls
+    * (list slice AFTER sort/distinct), while the counts stay exact —
+    * the same way the q_knn_lsh oracle models maxBucket. At fixture
+    * scale no edge reaches the cap, but the oracle must model the
+    * semantics, not rely on that. */
   private val edgesPropsSql =
     """WITH pc AS (
       |  SELECT p_partkey,
@@ -352,7 +359,7 @@ object CoreQueries {
       |  JOIN pc ON pc.p_partkey = l.l_partkey),
       |web_ord AS (
       |  SELECT s subject_id, 'ordered' relation_label, obj object_id,
-      |         array_to_string(list_sort(list(url)), '|') evidence,
+      |         array_to_string((list_sort(list(url)))[1:1024], '|') evidence,
       |         count(*) n_pages
       |  FROM ord GROUP BY 1,2,3),
       |loc AS (
@@ -361,13 +368,13 @@ object CoreQueries {
       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
       |web_loc AS (
       |  SELECT s subject_id, 'located_in' relation_label, obj object_id,
-      |         array_to_string(list_sort(list(url)), '|') evidence,
+      |         array_to_string((list_sort(list(url)))[1:1024], '|') evidence,
       |         count(*) n_pages
       |  FROM loc GROUP BY 1,2,3),
       |ledger AS (
       |  SELECT 'CUST:' || o.o_custkey subject_id, 'ordered' relation_label,
       |         pc.pid object_id,
-      |         array_to_string(list_sort(list_distinct(list('https://ex.org/' || o.o_orderkey))), '|') evidence,
+      |         array_to_string((list_sort(list_distinct(list('https://ex.org/' || o.o_orderkey))))[1:1024], '|') evidence,
       |         count(*) n_lines
       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       |  JOIN pc ON pc.p_partkey = l.l_partkey

@@ -155,10 +155,14 @@ object RelationalQueries {
         lit("DESC        first line\n            second line\n"),
         lit("NCHARS      "), col("n_chars"), lit("\n"),
         lit("///")).as("value"))
+      // Per-run unique scratch path (applicationId): two concurrent
+      // harness runs over the same data dir must not race on one
+      // directory. The result is materialized eagerly (localCheckpoint)
+      // so the scratch files can be deleted before returning.
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_flatfile_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        s.sparkContext.applicationId
       body.coalesce(4).write.mode("overwrite").text(path)
-      graft.sources.FlatFile.read(s, path)
+      val out = graft.sources.FlatFile.read(s, path)
         .groupBy("record_id")
         .agg(
           max(when(col("field") === "ENTRY", col("value"))).as("entry"),
@@ -168,6 +172,11 @@ object RelationalQueries {
           max(when(col("field") === "NCHARS", col("value"))).as("nchars"),
           count(when(col("field") === "DESC", lit(1))).as("n_desc"))
         .select("entry", "name", "src", "lang", "nchars", "n_desc")
+        .localCheckpoint(true)
+      val d = new java.io.File(path)
+      Option(d.listFiles()).foreach(_.foreach(_.delete()))
+      d.delete()
+      out
     }),
     // One census over EVERY relationally-derived node/edge family of
     // the 14-type / 17-family schema — per-label cardinalities in one

@@ -32,16 +32,19 @@ object SimQueries {
       Knn.lshTopK(emb(s, dir), dim = 64, k = 5,
         nPlanes = 6, nTables = 8, maxBucket = 4096, probe = true)
     }),
-    // IVF ANN (k-means coarse quantizer + nprobe lists): rows-only —
-    // centroid training is a distributed float average, so the exact
-    // candidate sets are not oracle-portable; recall >= 0.8 vs brute
-    // force is ScalaTest-gated (DedupSimSpec), and with nprobe=c/2 every
-    // query sees >> k candidates so the row count (nQueries * k) is
-    // stable under float-summation-order drift.
+    // IVF ANN with FIXED deterministic centroids (the "trained offline,
+    // shipped with the job" deployment shape — a 10^12-row corpus never
+    // re-trains its quantizer per query): assignment, the maxList cap,
+    // nprobe probing and exact scoring are all integer-mix + sequential
+    // double-fold arithmetic, so the whole path is fully oracle-checked
+    // in DuckDB (centroid j, dim d from the same public formula). The
+    // TRAINED path (Lloyd rounds, float-sum order-dependent) stays
+    // recall-gated >= 0.8 vs brute force in ScalaTest (DedupSimSpec).
     "q_knn_ivf" -> ((s, dir) => {
       tune(s)
       graft.sim.Ivf.ivfTopK(emb(s, dir), dim = 64, k = 5,
-        targetList = 64L, iters = 3, nprobe = 4)
+        nprobe = IvfNprobe, maxList = IvfMaxList,
+        centroids = Some(graft.sim.Ivf.fixedCentroids(IvfC, 64)))
     }),
     "q_cosine_neardup" -> ((s, dir) => {
       tune(s)
@@ -58,6 +61,11 @@ object SimQueries {
         .select("vec_id", "label")
     })
   )
+
+  /** q_knn_ivf parameters, shared by the query and its oracle SQL. */
+  private val IvfC = 16
+  private val IvfNprobe = 4
+  private val IvfMaxList = 4096
 
   /** DuckDB mirror of Knn.srpSignature for table `t`: per plane p the
     * projection is an ORDERED left-fold sum (list_reduce seeded [0.0] =
@@ -114,8 +122,61 @@ object SimQueries {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** DuckDB mirror of Ivf.ivfTopK over fixed formula centroids: the
+    * squared-L2 distance to centroid j is the SAME sequential double
+    * fold as the native CentroidDists kernel (seed 0.0, term order d =
+    * 1..dim, centroid value = exact integer mix / 2^19 − 1); assignment
+    * is the first minimum (ORDER BY dist, j), lists are capped at
+    * maxList by (cid, neighbor_id) row_number, probes are the nprobe
+    * nearest centroids, and candidates are scored with the identical
+    * dot/norm arithmetic as the LSH oracle. */
+  private val knnIvfSql: String = {
+    val dim = 64; val k = 5
+    def distSql(j: Int): String = {
+      val off = j * 40503L
+      val cent = s"((d * 2654435761 + $off) % 1048576 / 524288.0 - 1.0)"
+      s"list_reduce([0.0] || list_transform(generate_series(1, $dim), " +
+        s"d -> (e[d] - $cent) * (e[d] - $cent)), (a, b) -> a + b)"
+    }
+    val arms = (1 to IvfC).map(j =>
+      s"SELECT vec_id, $j j, ${distSql(j)} dist FROM c")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |dd AS (
+       |  $arms),
+       |pr AS (
+       |  SELECT vec_id, j,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) rn
+       |  FROM dd),
+       |lists AS (
+       |  SELECT cid, vec_id neighbor_id FROM (
+       |    SELECT a.cid, a.vec_id,
+       |           row_number() OVER (PARTITION BY a.cid ORDER BY a.vec_id) lrn
+       |    FROM (SELECT vec_id, j cid FROM pr WHERE rn = 1) a)
+       |  WHERE lrn <= $IvfMaxList),
+       |probes AS (SELECT vec_id, j cid FROM pr WHERE rn <= $IvfNprobe),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id, l.neighbor_id
+       |  FROM probes p JOIN lists l
+       |    ON l.cid = p.cid AND l.neighbor_id <> p.vec_id),
+       |scored AS (
+       |  SELECT cd.vec_id, cd.neighbor_id,
+       |    ${dotSql("q.e", "a.e", dim)}
+       |      / (sqrt(${dotSql("q.e", "q.e", dim)})
+       |         * sqrt(${dotSql("a.e", "a.e", dim)})) sim
+       |  FROM cand cd JOIN c q ON q.vec_id = cd.vec_id
+       |  JOIN c a ON a.vec_id = cd.neighbor_id)
+       |SELECT vec_id, rank, neighbor_id FROM (
+       |  SELECT vec_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY sim DESC, neighbor_id) rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_knn_lsh" -> knnLshSql,
+    "q_knn_ivf" -> knnIvfSql,
     "q_knn_cosine" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
         |q AS (SELECT * FROM c WHERE vec_id % 5 = 0)

@@ -73,6 +73,21 @@ object Ivf {
   def autoC(n: Long, targetList: Long = 2048L): Int =
     math.max(4L, math.min(1L << 20, (n + targetList - 1) / targetList)).toInt
 
+  /** Deterministic FIXED centroid matrix from the same public integer
+    * mix as the SRP hyperplanes (Knn.coeff): centroid j, dimension d =
+    * pmod((d+1)·2654435761 + (j+1)·40503, 2^20)/2^19 − 1 — exact small-
+    * integer arithmetic plus one power-of-two division, so ANY engine
+    * rebuilds the identical doubles and the whole IVF path (assignment,
+    * list cap, probing, scoring) becomes DuckDB-oracle-checkable. At
+    * scale this is the "centroids trained offline, shipped with the
+    * job" deployment shape: [[ivfTopK]] takes them via `centroids` and
+    * never re-trains per query. */
+  def fixedCentroids(c: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(c, dim) { (j, d) =>
+      (((d + 1).toLong * 2654435761L + (j + 1).toLong * 40503L) % 1048576L)
+        .toDouble / 524288.0 - 1.0
+    }
+
   /** Materialize the inverted lists as a cid-partitioned parquet layout
     * — the on-disk form of the 10^12-row scale path: a probe of
     * `nprobe` lists reads ONLY those partitions (Catalyst partition
@@ -108,29 +123,46 @@ object Ivf {
               c: Int = 0, iters: Int = 5, nprobe: Int = 8,
               targetList: Long = 2048L, maxList: Int = 4096,
               centroids: Option[Array[Array[Double]]] = None): DataFrame = {
-    val cc = if (c > 0) c else autoC(corpus.count(), targetList)
-    val cents = centroids.getOrElse(trainCentroids(corpus, dim, cc, iters))
-    val rawAssigned = corpus.select(col("id").as("neighbor_id"),
-      argmin(col("emb"), cents).as("cid"))
-    val wL = Window.partitionBy("cid").orderBy(col("neighbor_id"))
-    val rankedL = rawAssigned.withColumn("rn", row_number().over(wL))
-    val nDropped = rankedL.filter(col("rn") > maxList).count()
-    if (nDropped > 0)
-      println(s"[ivfTopK] dropped $nDropped inverted-list members over cap=$maxList")
-    val assigned = rankedL.filter(col("rn") <= maxList).drop("rn")
-    // nprobe nearest centroid ids per query: sort (dist, idx) structs
-    // lexicographically, slice, project the idx field.
+    // With explicit centroids the count() sizing action is skipped
+    // entirely; autoC only runs when we must also train.
+    val cents = centroids.getOrElse {
+      val cc = if (c > 0) c else autoC(corpus.count(), targetList)
+      trainCentroids(corpus, dim, cc, iters)
+    }
+    // ONE pass computes everything derived from the distance array: the
+    // nprobe nearest centroid ids, sorted — list assignment is its
+    // first element (argmin == nearest probe). Persisted, because three
+    // consumers (drop-count, capped lists, probe explode) would
+    // otherwise each recompute the full-corpus distance map — the
+    // recomputation that made the query path 39 s driver-recorded.
     val probeIds = TextOps.let(distArray(col("emb"), cents), a =>
       transform(
         slice(array_sort(transform(sequence(lit(0), lit(cents.length - 1)),
           j => struct(element_at(a, j + 1).as("d"), j.as("i")))), 1, nprobe),
         s => s.getField("i") + 1))
-    val probes = corpus
-      .select(col("id").as("vec_id"), explode(probeIds).as("cid"))
+    val probed = corpus.select(col("id"), probeIds.as("pids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wL = Window.partitionBy("cid").orderBy(col("neighbor_id"))
+    // The ranked assignment is ALSO persisted: the drop-count action and
+    // the capped-list filter share one window pass instead of two.
+    val rankedL = probed
+      .select(col("id").as("neighbor_id"), element_at(col("pids"), 1).as("cid"))
+      .withColumn("rn", row_number().over(wL))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDropped = rankedL.filter(col("rn") > maxList).count()
+    if (nDropped > 0)
+      println(s"[ivfTopK] dropped $nDropped inverted-list members over cap=$maxList")
+    val assigned = rankedL.filter(col("rn") <= maxList).drop("rn")
+    val probes = probed.select(col("id").as("vec_id"), explode(col("pids")).as("cid"))
+    // Materialize the deduped candidate pairs, then release both cached
+    // intermediates (bench reps must not accumulate cached partitions).
     val cand = probes.join(assigned, "cid")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select("vec_id", "neighbor_id")
       .distinct()
+      .localCheckpoint(true)
+    rankedL.unpersist(false)
+    probed.unpersist(false)
     val nrm = corpus.select(col("id"), col("emb"), Knn.norm(col("emb")).as("n"))
     val scored = cand
       .join(nrm.select(col("id").as("vec_id"), col("emb").as("qe"), col("n").as("qn")), "vec_id")

@@ -75,8 +75,10 @@ object Knn {
     * the LSH/IVF-style coarse quantizer. `table` offsets the plane set
     * so multiple independent tables share one formula. Native codegen'd
     * loop; [[srpSignatureUnrolled]] is the Column form it matches
-    * bit-for-bit (`dim` is read from the array at runtime). */
-  def srpSignature(emb: Column, dim: Int, nPlanes: Int, table: Int = 0): Column =
+    * bit-for-bit. The projection dimensionality is the runtime array
+    * length (no `dim` parameter — a dim smaller than the array would
+    * silently be ignored, so the API doesn't offer one). */
+  def srpSignature(emb: Column, nPlanes: Int, table: Int = 0): Column =
     graft.functions.VectorExprs.srpSig(emb, nPlanes, table)
 
   /** The unrolled per-plane Column formulation of [[srpSignature]] —
@@ -114,7 +116,7 @@ object Knn {
     // One corpus scan: every (table, signature) assignment per row.
     val sigArr = array((0 until nTables).map(t =>
       struct(lit(t).as("tbl"),
-        srpSignature(col("emb"), dim, nPlanes, t).as("sig"))): _*)
+        srpSignature(col("emb"), nPlanes, t).as("sig"))): _*)
     val sigged = corpus
       .select(col("id"), explode(sigArr).as("ts"))
       .select(col("id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
@@ -122,8 +124,12 @@ object Knn {
 
     // Corpus side: deterministic per-bucket cap, drops logged (the
     // guard that keeps a pathological hub bucket from going quadratic).
+    // Ranked is persisted so the drop-count action and the candidate
+    // join share ONE window pass (sigged being cached only spared the
+    // signature computation, not the window's sort+shuffle).
     val wB = Window.partitionBy("tbl", "sig").orderBy(col("id"))
     val ranked = sigged.withColumn("rn", row_number().over(wB))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDropped = ranked.filter(col("rn") > maxBucket).count()
     if (nDropped > 0)
       println(s"[lshTopK] dropped $nDropped bucket members over cap=$maxBucket")
@@ -147,6 +153,7 @@ object Knn {
       .select("vec_id", "neighbor_id")
       .distinct()
       .localCheckpoint(true)
+    ranked.unpersist(false)
     sigged.unpersist(false)
 
     // Exact scoring of candidates only (same float path as brute force).

@@ -48,24 +48,34 @@ object DedupOps {
     * Output: (id1, id2, common, size1, size2) — integers only; id1 < id2. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, tau: Double, maxDf: Long = 500L): DataFrame = {
+    require(maxDf > 0 && maxDf <= Int.MaxValue - 1, s"maxDf out of range: $maxDf")
     val sets = shingleSets(docs, idCol, textCol, n)
-    val inv = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
-    // One shuffle builds the posting list per shingle; pairs are then
-    // emitted map-side from each posting (no self-join, no window sort).
+    val inv = sets.select(col("doc_id").cast("long").as("doc_id"),
+      explode(col("shs")).as("sh"))
+    // One shuffle builds the posting list per shingle via the BOUNDED
+    // aggregator: a stopword-gram present in O(corpus) documents holds
+    // maxDf+1 elements of reducer state (plus an exact df counter), not
+    // the full posting list — collect_list here was the one unbounded
+    // buffer left in the dedup family (at 10^12 docs a hot shingle's
+    // list is O(corpus) inside a single aggregation buffer, the same
+    // defect class BoundedAggs.topKCount fixed for edge evidence).
     // Persisted so the hot-shingle action and the pair emission share
     // one inverted-index shuffle; released once pairs are materialized.
+    val capAgg = graft.functions.BoundedAggs.cappedLongList(maxDf.toInt)
     val allPostings = inv.groupBy("sh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .agg(capAgg(col("doc_id")).as("pl"))
+      .filter(col("pl.total") >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Hot set is tiny by construction (only shingles with df > maxDf);
     // materialized so it survives the unpersist below.
-    val hot = allPostings.filter(size(col("ds")) > maxDf)
+    val hot = allPostings.filter(col("pl.total") > maxDf)
       .select(col("sh")).localCheckpoint(true)
     val nHot = hot.count()
     if (nHot > 0)
       println(s"[ngramJaccardPairs] excluded $nHot hot shingles with df > $maxDf from the shingle universe")
-    val postings = allPostings.filter(size(col("ds")) <= maxDf)
+    // Complete (never-truncated) sorted postings: total <= maxDf = cap.
+    val postings = allPostings.filter(col("pl.total") <= maxDf)
+      .select(col("sh"), col("pl.items").as("ds"))
     val pairExpr = flatten(transform(
       sequence(lit(0), size(col("ds")) - 2),
       i => transform(

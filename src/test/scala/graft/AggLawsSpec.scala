@@ -28,10 +28,17 @@ class AggLawsSpec extends AnyFunSuite {
   private def reduceAll(xs: Seq[String]): TopKState =
     xs.foldLeft(agg.zero)(agg.reduce)
 
-  /** The specification: K smallest distinct + exact non-null count. */
+  /** UTF-8 binary order via Spark's own UTF8String — the collation the
+    * engine's shuffles/sorts and the DuckDB oracles use. */
+  private val utf8Order: Ordering[String] = (a: String, b: String) =>
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** The specification: K smallest distinct (UTF-8 binary order) +
+    * exact non-null count. */
   private def spec(xs: Seq[String]): (Seq[String], Long) = {
     val nonNull = xs.filter(_ != null)
-    (nonNull.distinct.sorted.take(k), nonNull.size.toLong)
+    (nonNull.distinct.sorted(utf8Order).take(k), nonNull.size.toLong)
   }
 
   private def assertMatchesSpec(s: TopKState, xs: Seq[String]): Unit = {
@@ -44,7 +51,12 @@ class AggLawsSpec extends AnyFunSuite {
     Gen.oneOf(
       Gen.const(null: String),
       Gen.alphaNumStr.map(_.take(6)),
-      Gen.chooseNum(0, 20).map(i => s"w$i")) // heavy duplication
+      Gen.chooseNum(0, 20).map(i => s"w$i"), // heavy duplication
+      // the UTF-16-vs-UTF-8 ordering trap: BMP private-use chars
+      // (U+E000..U+FFFD) sort ABOVE supplementary-plane chars in
+      // UTF-16 code-unit order but BELOW them in UTF-8 byte order
+      Gen.oneOf("\uE000", "\uFFFD", "\uD83D\uDE00" /* U+1F600 */ ,
+        "\uD800\uDC00" /* U+10000 */ , "a\uE000", "a\uD83D\uDE00"))
 
   private val listGen: Gen[List[String]] =
     Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, tokenGen))
@@ -88,6 +100,22 @@ class AggLawsSpec extends AnyFunSuite {
       assert(l.items.toSeq == s.items.toSeq && l.total == s.total)
       assert(r.items.toSeq == s.items.toSeq && r.total == s.total)
     }
+  }
+
+  test("utf8Compare agrees in sign with UTF8String (UTF-8 byte order) incl. supplementary plane") {
+    val pairGen = for {
+      a <- tokenGen if a != null
+      b <- tokenGen if b != null
+    } yield (a, b)
+    forAllSeeded(pairGen, n = 500) { case (a, b) =>
+      val got = BoundedAggs.utf8Compare(a, b)
+      val want = utf8Order.compare(a, b)
+      assert(Integer.signum(got) == Integer.signum(want),
+        s"utf8Compare('$a','$b') sign mismatch: $got vs $want")
+    }
+    // the canonical trap pair: U+FFFD (BMP) vs U+1F600 (supplementary)
+    assert("\uFFFD".compareTo("\uD83D\uDE00") > 0) // UTF-16 order: WRONG way
+    assert(BoundedAggs.utf8Compare("\uFFFD", "\uD83D\uDE00") < 0) // UTF-8 order
   }
 
   test("salted cell decomposition: per-cell states (salt by value) merge to the global state") {

@@ -78,7 +78,7 @@ class ExtensionsSpec extends AnyFunSuite {
       .orderBy("id").collect()
     val viaCol = emb.select(col("id"),
         Knn.dot(col("emb"), col("emb")).as("d"),
-        Knn.srpSignature(col("emb"), 64, 6, 0).as("s"))
+        Knn.srpSignature(col("emb"), 6, 0).as("s"))
       .orderBy("id").collect()
     assert(viaSql.length === viaCol.length && viaSql.nonEmpty)
     viaSql.zip(viaCol).foreach { case (a, b) =>

@@ -160,6 +160,59 @@ class MergeDedupAggSpec extends AnyFunSuite {
     assert(r._2 == (0 until k).map(i => f"u$i%09d"))
   }
 
+  test("cappedLongList: a df=10^6 hot shingle holds O(cap) state; complete lists stay exact+sorted") {
+    import graft.functions.BoundedAggs
+    val cap = 500
+    val agg = BoundedAggs.cappedLongList(cap)
+    // one stopword-gram posting over a million docs + one normal posting
+    val hotRows = spark.range(1000000).select(lit("the quick brown").as("sh"), $"id".as("doc_id"))
+    val coldRows = spark.range(100).select(lit("rare gram here").as("sh"), (lit(99L) - $"id").as("doc_id"))
+    val r = hotRows.unionByName(coldRows).repartition(8)
+      .groupBy("sh").agg(agg($"doc_id").as("pl"))
+      .select($"sh", $"pl.total", $"pl.items")
+      .as[(String, Long, Seq[Long])].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    val (hotDf, hotItems) = r("the quick brown")
+    assert(hotDf == 1000000L)              // exact df despite the cap
+    assert(hotItems.length <= cap + 1)     // bounded reducer state witness
+    val (coldDf, coldItems) = r("rare gram here")
+    assert(coldDf == 100L)
+    assert(coldItems == (0L until 100L))   // complete AND sorted (input was reversed)
+  }
+
+  test("ngramJaccardPairs with a hot shingle: bounded build == unbounded collect_list semantics") {
+    import graft.textops.{DedupOps, TextOps}
+    val maxDf = 5L
+    // 12 docs share the trigram "x y z" (hot: df=12 > 5); the retained
+    // universe is each doc's group-k tail (df=4 per tail shingle), so
+    // same-group docs are full near-dups over retained shingles only.
+    val docs = (0 until 12).map { i =>
+      val k = i % 3
+      (i.toLong, s"x y z b$k c$k d$k e$k")
+    }.toDF("doc_id", "text")
+    val got = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        tau = 0.3, maxDf = maxDf)
+      .select($"id1", $"id2", $"common".cast("long"),
+        $"size1".cast("long"), $"size2".cast("long"))
+      .orderBy("id1", "id2").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // reference: the pre-bounded formulation (full collect_list, then df filter)
+    val sets = DedupOps.shingleSets(docs, "doc_id", "text", 3)
+    val inv = sets.select($"doc_id", explode($"shs").as("sh"))
+    val post = inv.groupBy("sh").agg(sort_array(collect_list($"doc_id")).as("ds"))
+    val hot = post.filter(size($"ds") > maxDf).select("sh")
+    val rinv = inv.join(hot, Seq("sh"), "left_anti")
+    val szs = rinv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val want = rinv.as("a").join(rinv.as("b"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id1"), $"b.doc_id".as("id2"))
+      .agg(count(lit(1)).as("common"))
+      .join(szs.select($"doc_id".as("id1"), $"sz".as("size1")), "id1")
+      .join(szs.select($"doc_id".as("id2"), $"sz".as("size2")), "id2")
+      .filter($"common" * 1.3 >= lit(0.3) * ($"size1" + $"size2"))
+      .select("id1", "id2", "common", "size1", "size2")
+      .orderBy("id1", "id2").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("pipeSetUnionCapped == pipeSetUnionAgg when K >= distinct; null on all-absent") {
     import graft.functions.BoundedAggs
     val capped = BoundedAggs.pipeSetUnionCapped(16)

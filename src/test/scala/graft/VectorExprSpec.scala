@@ -38,7 +38,7 @@ class VectorExprSpec extends AnyFunSuite {
   test("srpSignature native matches the unrolled Column form on every fixture row and table") {
     val dim = emb.select(size(col("emb"))).head().getInt(0)
     val checks = (0 until 4).map { t =>
-      (Knn.srpSignature(col("emb"), dim, 6, t) =!=
+      (Knn.srpSignature(col("emb"), 6, t) =!=
         Knn.srpSignatureUnrolled(col("emb"), dim, 6, t)).cast("int").as(s"t$t")
     }
     val bad = emb.select(checks: _*)
@@ -95,7 +95,7 @@ class VectorExprSpec extends AnyFunSuite {
     val viaDf = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(Seq(1.5f, -2.25f, 3.0f)))),
       StructType(Seq(StructField("e", ArrayType(FloatType, false)))))
-      .select(Knn.srpSignature(col("e"), 3, 6, 0).as("s"))
+      .select(Knn.srpSignature(col("e"), 6, 0).as("s"))
       .head().getLong(0)
     assert(s0 === viaDf)
   }
