@@ -65,10 +65,12 @@ object Pipeline {
     val fpMentions = s"mentions-trie-v2;$fpExtract;dict=aliasDict"
     val fpCanon = s"canon-cc-v1;sfDir=$sfDir"
     val fpTriples = s"triples-v1;$fpMentions;$fpCanon"
-    val fpNodes = s"nodes-typed-v4;$fpMentions;$fpCanon;attrs=nodeAttrs;" +
-      "+order+doc+ptype+user+evt+lang+src"
-    val fpEdges = s"edges-fused-v4;$fpMentions;$fpCanon;" +
-      "src=web+ledger+placed+contains+oftype+performed+writtenin+fromsource+fulfills"
+    // v5 (round 4): the store persists the FULL declared schema — all
+    // 14 node types (complete relational entity universes, not only
+    // text-mentioned ones) and all 25 edge families.
+    val fpNodes = s"nodes-typed-v5;$fpCanon;attrs=nodeAttrs;full-univ;" +
+      "+order+doc+ptype+user+evt+lang+src+supp+region+brand+seg"
+    val fpEdges = s"edges-fused-v5;$fpMentions;$fpCanon;all-25-families"
 
     // Stage-commit pipelining: independent stages run as concurrent
     // Spark jobs (the scheduler interleaves their tasks), and each
@@ -110,6 +112,9 @@ object Pipeline {
     // parquet — cheap relative to the stage it guards).
     val audit = extracted.filter(col("text_hash") =!= col("ref_hash")).count()
     require(audit == 0, s"byte-identity audit failed on $audit pages")
+    // Plain count over the committed snapshot (parquet row-group
+    // metadata — no data scan); decides the hub-salting threshold below.
+    val nPages = extracted.count()
 
     // Stage 2: mentions (broadcast trie; fact side never shuffles).
     val mentions = GraphStore.getOrCompute(spark, storeBase, "mentions",
@@ -145,10 +150,15 @@ object Pipeline {
         partitionByCols = Seq("bucket"), inputFp = fpNodes, lineageAsync = true) {
       // Multi-adapter node merge (reference: one adapter per source —
       // uniprot/drug/go/... — all landing in one typed node table):
-      // web-corpus entities + order ledger + document metadata + event
-      // stream + part/type vocabularies, every family schema-declared
-      // in KgSchema and conformance-checked by the same violations
-      // machinery.
+      // the COMPLETE relational entity universes (all canonical
+      // products / customers / nations — the reference emits every
+      // source-DB entity, not only text-mentioned ones; mention-derived
+      // nodes are a value-identical subset) + order ledger + document
+      // metadata + event stream + vocabularies + supplier/region/brand/
+      // segment, every family schema-declared in KgSchema and
+      // conformance-checked by the same violations machinery. Complete
+      // universes also guarantee every declared edge family survives
+      // skip-bad-relationships intact (store census == graph census).
       val plain = Seq(
         Corpus.orderNodes(spark, sfDir),
         Corpus.documentNodes(spark, sfDir),
@@ -156,11 +166,16 @@ object Pipeline {
         Corpus.userNodes(spark, sfDir),
         Corpus.eventTypeNodes(spark, sfDir),
         Corpus.languageNodes(spark, sfDir),
-        Corpus.sourceNodes(spark, sfDir))
+        Corpus.sourceNodes(spark, sfDir),
+        Corpus.supplierNodes(spark, sfDir),
+        Corpus.regionNodes(spark, sfDir),
+        Corpus.brandNodes(spark, sfDir),
+        Corpus.segmentNodes(spark, sfDir))
         .map(_.withColumn("props_arr", map().cast("map<string,array<string>>"))
           .withColumn("embedding", lit(null).cast("array<float>")))
         .reduce(_ unionByName _)
-      Triples.nodesTyped(Triples.nodes(mentions, canon), Corpus.nodeAttrs(spark, sfDir))
+      Triples.nodesTyped(Corpus.relationalEntityNodes(spark, sfDir),
+          Corpus.nodeAttrs(spark, sfDir))
         .unionByName(plain)
         .withColumn("bucket", pmod(xxhash64(col("id")), lit(32)))
     }
@@ -172,8 +187,15 @@ object Pipeline {
     val edges = GraphStore.getOrCompute(spark, storeBase, "edges",
         partitionByCols = Seq("bucket"), inputFp = fpEdges, lineageAsync = true) {
       import graft.merge.MergeSources
+      // Hub-skew guard: past the page threshold, witness aggregation
+      // runs two-phase salted (value-hash cells) so a popular edge's
+      // fan-in spreads over 8 reducers before the bounded cap applies —
+      // bit-identical to the single-phase path by merge associativity.
+      val salts =
+        if (nPages >= Triples.SaltPageThreshold) Triples.DefaultEvidenceSalts
+        else 1
       val fused = MergeSources.mergeAll(
-        Seq(Triples.evidenceFromSets(pageSets, canon),
+        Seq(Triples.evidenceFromSets(pageSets, canon, salts = salts),
           Corpus.ledgerEdges(spark, sfDir, canon)),
         keys = Seq("subject_id", "relation_label", "object_id"),
         rules = Seq(
@@ -186,38 +208,56 @@ object Pipeline {
           lit("n_lines"), coalesce(col("n_lines"), lit(0L)).cast("string")))
         .select(col("subject_id"), col("relation_label"), col("object_id"),
           col("properties"))
-      // Relational typed-edge layers (placed: int year; contains: int
-      // quantity + round(_,3) float extendedprice) ride the same sink
-      // schema; skip-bad-relationships applies to every family.
-      val placed = Corpus.placedEdges(spark, sfDir)
-        .select(col("subject_id"), col("relation_label"), col("object_id"),
-          map(lit("year"), col("year").cast("string")).as("properties"))
-      val contains = Corpus.containsEdges(spark, sfDir, canon)
-        .select(col("subject_id"), col("relation_label"), col("object_id"),
-          map(lit("quantity"), col("quantity").cast("string"),
-            lit("extendedprice"), col("extendedprice").cast("string"))
-            .as("properties"))
-      // Breadth families (round 3): vocabulary/metadata/event-stream
-      // edges, each with its typed props riding the uniform sink schema.
-      val ofType = Corpus.ofTypeEdges(spark, sfDir)
-        .withColumn("properties", map().cast("map<string,string>"))
-      val performed = Corpus.performedEdges(spark, sfDir)
-        .select(col("subject_id"), col("relation_label"), col("object_id"),
-          map(lit("n_events"), col("n_events").cast("string"),
-            lit("value_milli"), col("value_milli").cast("string"))
-            .as("properties"))
-      val writtenIn = Corpus.writtenInEdges(spark, sfDir)
-        .withColumn("properties", map().cast("map<string,string>"))
-      val fromSource = Corpus.fromSourceEdges(spark, sfDir)
-        .withColumn("properties", map().cast("map<string,string>"))
-      val fulfills = Corpus.fulfillsEdges(spark, sfDir)
-        .select(col("subject_id"), col("relation_label"), col("object_id"),
-          map(lit("n_lines"), col("n_lines").cast("string"),
-            lit("qty_milli"), col("qty_milli").cast("string"))
-            .as("properties"))
+      // Uniform sink projection: the named typed-prop columns of each
+      // family fold into the properties map (string-encoded, the
+      // KgSchema value-typing contract); skip-bad-relationships applies
+      // to every family below.
+      def props(df: org.apache.spark.sql.DataFrame, keys: String*) = {
+        val m =
+          if (keys.isEmpty) map().cast("map<string,string>")
+          else map(keys.flatMap(k => Seq(lit(k), col(k).cast("string"))): _*)
+        df.select(col("subject_id"), col("relation_label"), col("object_id"),
+          m.as("properties"))
+      }
+      // ALL remaining declared edge families (KgSchema: 25 total) ride
+      // the same store path — the persisted graph IS the declared
+      // schema, not a subset (store census == q_graph_census, spec'd).
+      val nearDup = graft.textops.DedupOps.minhashNearDupPairs(
+          Corpus.table(spark, sfDir, "documents").select("doc_id", "text"),
+          "doc_id", "text")
+        .select(
+          concat(lit("DOC:"), col("id1")).as("subject_id"),
+          lit("near_dup_of").as("relation_label"),
+          concat(lit("DOC:"), col("id2")).as("object_id"),
+          col("common"), col("size1"), col("size2"))
+      val rest = Seq(
+        props(Corpus.placedEdges(spark, sfDir), "year"),
+        props(Corpus.containsEdges(spark, sfDir, canon),
+          "quantity", "extendedprice"),
+        props(Corpus.ofTypeEdges(spark, sfDir)),
+        props(Corpus.performedEdges(spark, sfDir), "n_events", "value_milli"),
+        props(Corpus.writtenInEdges(spark, sfDir)),
+        props(Corpus.fromSourceEdges(spark, sfDir)),
+        props(Corpus.fulfillsEdges(spark, sfDir), "n_lines", "qty_milli"),
+        props(Corpus.supplyEdges(spark, sfDir, canon), "n_lines"),
+        props(Corpus.inRegionEdges(spark, sfDir)),
+        props(Corpus.brandedAsEdges(spark, sfDir)),
+        props(Corpus.inSegmentEdges(spark, sfDir)),
+        props(Corpus.fromNationEdges(spark, sfDir)),
+        props(Corpus.ratedEdges(spark, sfDir, canon), "med_qty_milli", "n_srcs"),
+        props(Triples.coOrderedFromSets(pageSets, canon)
+          .withColumn("sources", lit("web")), "sources"),
+        props(nearDup, "common", "size1", "size2"),
+        props(Corpus.sharesPartEdges(spark, sfDir, canon), "n_common"),
+        props(Corpus.coPurchasedEdges(spark, sfDir), "n_common"),
+        props(Corpus.citesEdges(spark, sfDir), "fp"),
+        props(Corpus.touchedEdges(spark, sfDir), "n_events", "value_milli"),
+        props(Corpus.peerOfEdges(spark, sfDir)),
+        props(Corpus.nextOrderEdges(spark, sfDir), "gap_days"),
+        props(Corpus.returnedEdges(spark, sfDir, canon), "n_returns", "qty_milli"),
+        props(Corpus.shipsToEdges(spark, sfDir), "n_orders"))
       val ids = nodes.select(col("id"))
-      Seq(fused, placed, contains, ofType, performed, writtenIn,
-          fromSource, fulfills)
+      (fused +: rest)
         .reduce(_ unionByName _)
         .join(ids.withColumnRenamed("id", "subject_id"), Seq("subject_id"), "left_semi")
         .join(ids.withColumnRenamed("id", "object_id"), Seq("object_id"), "left_semi")
@@ -228,7 +268,6 @@ object Pipeline {
     Await.result(triplesF, Duration.Inf)
     val nTriples = edges.count()
     val nNodes = nodes.count()
-    val nPages = extracted.count()
     GraphStore.awaitPending()
     mark("finalize")
     val secs = (System.nanoTime() - t0) / 1e9

@@ -18,11 +18,13 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.RelationalQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.SimQueries.queries
+      graft.queries.SimQueries.queries ++
+      graft.queries.BreadthQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
       graft.queries.RelationalQueries.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
-      graft.queries.SimQueries.oracleSql
+      graft.queries.SimQueries.oracleSql ++
+      graft.queries.BreadthQueries.oracleSql
 }

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.Corpus
+import graft.queries.CoreQueries.tune
+
+/** Breadth block 3 (round 4): eight further KG edge families toward
+  * the reference's ~40 edge types (schema_config.yaml:208-606 — e.g.
+  * drug_interacts_with_drug, disease_comorbid_with, side-effect and
+  * orthology tables), each re-expressed over the driver tables as a
+  * DISTINCT operator shape and each fully DuckDB-oracle-checked:
+  *   shares_part        co-occurrence pair dedup (supplier–supplier)
+  *   co_purchased_with  thresholded co-occurrence (order–order)
+  *   cites              content-derived-key self join (doc–doc)
+  *   touched            JSON-prop extraction + agg (user–doc)
+  *   peer_of            cohort path graph via lag window (cust–cust)
+  *   next_order         windowed succession + date gap (order–order)
+  *   returned           filtered multi-hop + canonicalize (cust–part)
+  *   ships_to           multi-hop countDistinct agg (supp–nation)
+  */
+object BreadthQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shares_part" -> ((s, dir) => {
+      tune(s)
+      Corpus.sharesPartEdges(s, dir, Corpus.canonicalIds(s, dir))
+    }),
+    "q_co_purchased" -> ((s, dir) => {
+      tune(s)
+      Corpus.coPurchasedEdges(s, dir)
+    }),
+    "q_cites" -> ((s, dir) => {
+      tune(s)
+      Corpus.citesEdges(s, dir)
+    }),
+    "q_touched" -> ((s, dir) => {
+      tune(s)
+      Corpus.touchedEdges(s, dir)
+    }),
+    "q_peer_of" -> ((s, dir) => {
+      tune(s)
+      Corpus.peerOfEdges(s, dir)
+    }),
+    "q_next_order" -> ((s, dir) => {
+      tune(s)
+      Corpus.nextOrderEdges(s, dir)
+    }),
+    "q_returned" -> ((s, dir) => {
+      tune(s)
+      Corpus.returnedEdges(s, dir, Corpus.canonicalIds(s, dir))
+    }),
+    "q_ships_to" -> ((s, dir) => {
+      tune(s)
+      Corpus.shipsToEdges(s, dir)
+    })
+  )
+
+  /** Canonical-part CTE shared by the part-canonicalized oracles. */
+  private val pcSql =
+    """pc AS (
+      |  SELECT p_partkey,
+      |         'PART:' || replace(min('PARTRAW:' || p_partkey) OVER (PARTITION BY p_name), 'PARTRAW:', '') AS pid
+      |  FROM part)""".stripMargin
+
+  /** DuckDB mirror of TextOps.fingerprint over string_split tokens
+    * (same integer fold as the q_doc_fingerprint oracle). */
+  private val fpSql =
+    """list_reduce([0] || list_transform(string_split(text, ' '),
+      |    t -> (ord(t[1])*7 + length(t)) % 1048576),
+      |    (a,b) -> (a*31+b) % 1048576)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_shares_part" ->
+      s"""WITH $pcSql,
+         |sp AS (
+         |  SELECT DISTINCT l.l_suppkey sk, pc.pid
+         |  FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey)
+         |SELECT 'SUPP:'||a.sk subject_id, 'shares_part' relation_label,
+         |       'SUPP:'||b.sk object_id, CAST(count(*) AS BIGINT) n_common
+         |FROM sp a JOIN sp b ON a.pid = b.pid AND a.sk < b.sk
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "q_co_purchased" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem)
+        |SELECT 'ORDER:'||a.ok subject_id, 'co_purchased_with' relation_label,
+        |       'ORDER:'||b.ok object_id, CAST(count(*) AS BIGINT) n_common
+        |FROM op a JOIN op b ON a.pk = b.pk AND a.ok < b.ok
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
+    "q_cites" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, $fpSql fp,
+         |         (SELECT count(*) FROM documents) n
+         |  FROM documents)
+         |SELECT 'DOC:'||doc_id subject_id, 'cites' relation_label,
+         |       'DOC:'||(fp % n) object_id, fp
+         |FROM f WHERE fp % n <> doc_id""".stripMargin,
+    "q_touched" ->
+      """SELECT 'USER:'||e.user_id subject_id, 'touched' relation_label,
+        |       'DOC:'||e.k object_id,
+        |       CAST(count(*) AS BIGINT) n_events,
+        |       CAST(sum(CAST(floor(e."value"*1000+0.5) AS BIGINT)) AS BIGINT) value_milli
+        |FROM (SELECT user_id,
+        |             CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) k,
+        |             "value"
+        |      FROM events) e
+        |JOIN documents d ON d.doc_id = e.k
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_peer_of" ->
+      """SELECT 'CUST:'||prev subject_id, 'peer_of' relation_label,
+        |       'CUST:'||c_custkey object_id
+        |FROM (SELECT c_custkey,
+        |             lag(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |                                  ORDER BY c_custkey) prev
+        |      FROM customer)
+        |WHERE prev IS NOT NULL""".stripMargin,
+    "q_next_order" ->
+      """SELECT 'ORDER:'||pk subject_id, 'next_order' relation_label,
+        |       'ORDER:'||o_orderkey object_id,
+        |       CAST(datediff('day', CAST(pd AS DATE), CAST(o_orderdate AS DATE)) AS BIGINT) gap_days
+        |FROM (SELECT o_orderkey, o_orderdate,
+        |             lag(o_orderkey) OVER w pk,
+        |             lag(o_orderdate) OVER w pd
+        |      FROM orders
+        |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |WHERE pk IS NOT NULL""".stripMargin,
+    "q_returned" ->
+      s"""WITH $pcSql
+         |SELECT 'CUST:'||o.o_custkey subject_id, 'returned' relation_label,
+         |       pc.pid object_id,
+         |       CAST(count(*) AS BIGINT) n_returns,
+         |       CAST(sum(CAST(floor(l.l_quantity*1000+0.5) AS BIGINT)) AS BIGINT) qty_milli
+         |FROM lineitem l
+         |JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |JOIN pc ON pc.p_partkey = l.l_partkey
+         |WHERE l.l_returnflag = 'R'
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "q_ships_to" ->
+      """SELECT 'SUPP:'||l.l_suppkey subject_id, 'ships_to' relation_label,
+        |       'NATION:'||c.c_nationkey object_id,
+        |       CAST(count(DISTINCT l.l_orderkey) AS BIGINT) n_orders
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY 1, 2, 3""".stripMargin
+  )
+}

@@ -179,7 +179,7 @@ object RelationalQueries {
       out
     }),
     // One census over EVERY relationally-derived node/edge family of
-    // the 14-type / 17-family schema — per-label cardinalities in one
+    // the 14-type / 25-family schema — per-label cardinalities in one
     // driver-visible artifact (the mention-derived entity nodes and
     // fused web edges have their own value-level oracles: q_nodes,
     // q_edges_props; near-dup edges: q_dup_edges).
@@ -203,7 +203,12 @@ object RelationalQueries {
         Corpus.ratedEdges(s, dir, canon),
         Corpus.ofTypeEdges(s, dir), Corpus.performedEdges(s, dir),
         Corpus.writtenInEdges(s, dir), Corpus.fromSourceEdges(s, dir),
-        Corpus.fulfillsEdges(s, dir))
+        Corpus.fulfillsEdges(s, dir),
+        // breadth block 3 (round 4)
+        Corpus.sharesPartEdges(s, dir, canon), Corpus.coPurchasedEdges(s, dir),
+        Corpus.citesEdges(s, dir), Corpus.touchedEdges(s, dir),
+        Corpus.peerOfEdges(s, dir), Corpus.nextOrderEdges(s, dir),
+        Corpus.returnedEdges(s, dir, canon), Corpus.shipsToEdges(s, dir))
         .map(_.select(col("relation_label").as("label"),
           concat(col("subject_id"), lit(">"), col("object_id")).as("k")))
       (nodeFams ++ edgeFams).reduce(_ unionByName _)
@@ -372,7 +377,18 @@ object RelationalQueries {
     "q_graph_census" ->
       """WITH pc AS (
         |  SELECT p_partkey, min(p_partkey) OVER (PARTITION BY p_name) AS pid
-        |  FROM part)
+        |  FROM part),
+        |sp AS (
+        |  SELECT DISTINCT l.l_suppkey sk, pc.pid
+        |  FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey),
+        |op AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |docfp AS (
+        |  SELECT doc_id,
+        |         list_reduce([0] || list_transform(string_split(text, ' '),
+        |           t -> (ord(t[1])*7 + length(t)) % 1048576),
+        |           (a,b) -> (a*31+b) % 1048576) fp,
+        |         (SELECT count(*) FROM documents) n
+        |  FROM documents)
         |SELECT 'supplier' AS "label", CAST(count(*) AS BIGINT) n FROM supplier
         |UNION ALL SELECT 'region', CAST(count(*) AS BIGINT) FROM region
         |UNION ALL SELECT 'brand', CAST(count(DISTINCT p_brand) AS BIGINT) FROM part
@@ -405,7 +421,34 @@ object RelationalQueries {
         |UNION ALL SELECT 'written_in', CAST(count(*) AS BIGINT) FROM documents
         |UNION ALL SELECT 'from_source', CAST(count(*) AS BIGINT) FROM documents
         |UNION ALL SELECT 'fulfills', CAST(count(*) AS BIGINT)
-        |  FROM (SELECT DISTINCT l_suppkey, l_orderkey FROM lineitem)""".stripMargin,
+        |  FROM (SELECT DISTINCT l_suppkey, l_orderkey FROM lineitem)
+        |UNION ALL SELECT 'shares_part', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT a.sk, b.sk s2 FROM sp a
+        |        JOIN sp b ON a.pid = b.pid AND a.sk < b.sk)
+        |UNION ALL SELECT 'co_purchased_with', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT a.ok, b.ok o2 FROM op a
+        |        JOIN op b ON a.pk = b.pk AND a.ok < b.ok
+        |        GROUP BY 1, 2 HAVING count(*) >= 2)
+        |UNION ALL SELECT 'cites', CAST(count(*) AS BIGINT)
+        |  FROM docfp WHERE fp % n <> doc_id
+        |UNION ALL SELECT 'touched', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT e.user_id,
+        |               CAST(regexp_extract(e.props, '"k": ([0-9]+)', 1) AS BIGINT) k
+        |        FROM events e) x JOIN documents d ON d.doc_id = x.k
+        |UNION ALL SELECT 'peer_of',
+        |  CAST(count(*) - count(DISTINCT c_nationkey||'|'||c_mktsegment) AS BIGINT)
+        |  FROM customer
+        |UNION ALL SELECT 'next_order',
+        |  CAST(count(*) - count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'returned', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT o.o_custkey, pc.pid
+        |        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |        JOIN pc ON pc.p_partkey = l.l_partkey
+        |        WHERE l.l_returnflag = 'R')
+        |UNION ALL SELECT 'ships_to', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT l.l_suppkey, c.c_nationkey
+        |        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |        JOIN customer c ON c.c_custkey = o.o_custkey)""".stripMargin,
     "q_user_events" ->
       """SELECT 'USER:'||user_id subject_id, 'performed' relation_label,
         |       'EVT:'||event_type object_id,

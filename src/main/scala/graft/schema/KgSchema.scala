@@ -108,7 +108,23 @@ object KgSchema {
     "fulfills" -> EdgeType("fulfills", "supplier", "order",
       Map("n_lines" -> PInt, "qty_milli" -> PInt)),
     "near_dup_of" -> EdgeType("near_dup_of", "document", "document",
-      Map("common" -> PInt, "size1" -> PInt, "size2" -> PInt)))
+      Map("common" -> PInt, "size1" -> PInt, "size2" -> PInt)),
+    // Breadth block 3 (round 4) — 25 edge families total.
+    "shares_part" -> EdgeType("shares_part", "supplier", "supplier",
+      Map("n_common" -> PInt)),
+    "co_purchased_with" -> EdgeType("co_purchased_with", "order", "order",
+      Map("n_common" -> PInt)),
+    "cites" -> EdgeType("cites", "document", "document",
+      Map("fp" -> PInt)),
+    "touched" -> EdgeType("touched", "user", "document",
+      Map("n_events" -> PInt, "value_milli" -> PInt)),
+    "peer_of" -> EdgeType("peer_of", "customer", "customer", Map.empty),
+    "next_order" -> EdgeType("next_order", "order", "order",
+      Map("gap_days" -> PInt)),
+    "returned" -> EdgeType("returned", "customer", "product",
+      Map("n_returns" -> PInt, "qty_milli" -> PInt)),
+    "ships_to" -> EdgeType("ships_to", "supplier", "nation",
+      Map("n_orders" -> PInt)))
 
   /** The scalar-prop keys a label may carry in its `props` map. */
   private def scalarKeys(label: String): Seq[String] =

@@ -113,6 +113,19 @@ object Triples {
     * bound — at 10^12 pages one popular edge must not OOM a reducer. */
   val DefaultEvidenceCap = 1024
 
+  /** Salt-cell count for the two-phase hub-key evidence aggregation. */
+  val DefaultEvidenceSalts = 8
+
+  /** Corpus-size threshold at which the flagship pipeline engages the
+    * salted two-phase evidence aggregation: below it, one reducer
+    * trivially absorbs any edge's fan-in and the second (tiny) shuffle
+    * is pure overhead; above it, a hub edge's witness fan-in is spread
+    * over [[DefaultEvidenceSalts]] reducer cells BEFORE the cap
+    * applies. The result is bit-identical either way (TopKState's merge
+    * is associative+commutative — AggLawsSpec), so the threshold is a
+    * cost knob, not a semantics knob. */
+  val SaltPageThreshold = 100000L
+
   /** Edge extraction KEEPING per-edge evidence: same relation rules as
     * [[extract]], but instead of a bare distinct each canonical edge
     * aggregates its witness pages — sorted pipe-joined urls (the
@@ -120,12 +133,21 @@ object Triples {
     * ppi_adapter.py:1268-1303) plus a support count.
     * Output: (subject_id, relation_label, object_id, sources, evidence,
     * n_pages). */
-  def extractEvidence(mentions: DataFrame, canon: DataFrame): DataFrame =
-    evidenceFromSets(perPageEntitySets(mentions, canon), canon)
+  def extractEvidence(mentions: DataFrame, canon: DataFrame,
+                      salts: Int = DefaultEvidenceSalts): DataFrame =
+    evidenceFromSets(perPageEntitySets(mentions, canon), canon, salts = salts)
 
-  /** [[extractEvidence]] over precomputed per-page entity sets. */
+  /** [[extractEvidence]] over precomputed per-page entity sets.
+    * `salts` > 1 engages the two-phase salted aggregation
+    * (Salted.topKCountSalted): phase 1 groups on (edge, value-salt)
+    * cells so a hub edge's witness fan-in lands on `salts` reducers,
+    * phase 2 merges the tiny per-cell bounded states. Bit-identical to
+    * the single-phase path (merge associativity — AggLawsSpec +
+    * TypedGraphSpec hub spec); the flagship pipeline engages it past
+    * [[SaltPageThreshold]] pages. */
   def evidenceFromSets(pageSets: DataFrame, canon: DataFrame,
-                       evidenceCap: Int = DefaultEvidenceCap): DataFrame = {
+                       evidenceCap: Int = DefaultEvidenceCap,
+                       salts: Int = 1): DataFrame = {
     // Same one-scan/one-group shape as extract; the url payload (needed
     // for the witness list) is the only string in the wide shuffles.
     // ONE aggregation: BoundedAggs.topKCount keeps at most `evidenceCap`
@@ -144,10 +166,18 @@ object Triples {
     // spill-safe and its input is the already-hash-keyed pair stream.
     // If the cap is lowered (say 64), raising the threshold becomes the
     // cheap win — revisit the two knobs together, not separately.
-    val topk = graft.functions.BoundedAggs.topKCount(evidenceCap)
-    val edges = relationPairs(pageSets)
-      .groupBy("se", "relation_label", "oe")
-      .agg(topk(col("url")).as("ev"))
+    val pairs = relationPairs(pageSets)
+    val grouped =
+      if (salts > 1)
+        graft.functions.Salted.topKCountSalted(pairs,
+          Seq("se", "relation_label", "oe"), col("url"), evidenceCap, salts)
+          .withColumnRenamed("wit", "ev")
+      else {
+        val topk = graft.functions.BoundedAggs.topKCount(evidenceCap)
+        pairs.groupBy("se", "relation_label", "oe")
+          .agg(topk(col("url")).as("ev"))
+      }
+    val edges = grouped
       .select(col("se"), col("relation_label"), col("oe"),
         concat_ws("|", col("ev.items")).as("evidence"),
         col("ev.total").as("n_pages"))
@@ -158,6 +188,34 @@ object Triples {
       .select(col("subject_id"), col("relation_label"), col("object_id"),
         col("evidence"), col("n_pages"))
       .withColumn("sources", lit("web"))
+  }
+
+  /** Canonical-pair product co-mention edges from per-page entity sets
+    * (the §2.5 reciprocal-dedup pattern in the flagship store path,
+    * same semantics as the q_co_ordered oracle): pairs explode
+    * map-side from each page's product set, dedup on 8-byte hash
+    * pairs, canonical strings restored via the broadcast dimension,
+    * pair canonicalized k1 < k2 in string order. */
+  def coOrderedFromSets(pageSets: DataFrame, canon: DataFrame): DataFrame = {
+    val ps = col("ps")
+    val pairExpr = flatten(transform(
+      sequence(lit(0), size(ps) - 2),
+      i => transform(
+        slice(ps, i + 2, size(ps) - i - 1),
+        p2 => struct(
+          least(element_at(ps, i + 1), p2).as("h1"),
+          greatest(element_at(ps, i + 1), p2).as("h2")))))
+    val hp = pageSets.filter(size(ps) >= 2)
+      .select(explode(pairExpr).as("p"))
+      .select(col("p.h1"), col("p.h2"))
+      .distinct()
+    val dim = broadcast(canonDim(canon))
+    hp.join(dim.select(col("ce").as("h1"), col("canonical_id").as("c1")), "h1")
+      .join(dim.select(col("ce").as("h2"), col("canonical_id").as("c2")), "h2")
+      .select(
+        least(col("c1"), col("c2")).as("subject_id"),
+        lit("co_ordered_with").as("relation_label"),
+        greatest(col("c1"), col("c2")).as("object_id"))
   }
 
   /** Typed node emission (golden schema FIXTURES.md §5 + SURVEY §1.1):

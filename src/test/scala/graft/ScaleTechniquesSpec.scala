@@ -102,4 +102,36 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(hubRow.getLong(2) === 60000L)
     assert(hubRow.getSeq[String](1).length === k)
   }
+
+  test("flagship edge evidence: the salted two-phase aggregation engages and is bit-identical") {
+    import graft.triples.Triples
+    // a hub edge: 5000 pages all witnessing (CUST:hub, ordered, PART:1)
+    // — fan-in well past the 1024 evidence cap
+    val pages = spark.range(5000).select(
+      format_string("https://h.ex/%05d", col("id")).as("url"))
+    val mentions = pages
+      .select(col("url"), lit("CUST:hub").as("entity_id"),
+        lit("customer").as("entity_label"))
+      .unionByName(pages.select(col("url"), lit("PARTRAW:1").as("entity_id"),
+        lit("product").as("entity_label")))
+    val canon = Seq(("CUST:hub", "CUST:hub", 1), ("PARTRAW:1", "PART:1", 1))
+      .toDF("raw_id", "canonical_id", "priority")
+    val sets = Triples.perPageEntitySets(mentions, canon)
+    val one = Triples.evidenceFromSets(sets, canon, salts = 1)
+    val two = Triples.evidenceFromSets(sets, canon,
+      salts = Triples.DefaultEvidenceSalts)
+    // the two-phase plan visibly engages: phase 1 groups on the
+    // value-derived salt cell before the per-edge merge
+    assert(two.queryExecution.analyzed.toString.contains("__salt"))
+    assert(!one.queryExecution.analyzed.toString.contains("__salt"))
+    val cols = Seq("subject_id", "relation_label", "object_id",
+      "sources", "evidence", "n_pages")
+    val a = one.select(cols.map(col): _*).orderBy("subject_id").collect()
+    val b = two.select(cols.map(col): _*).orderBy("subject_id").collect()
+    assert(a.toSeq === b.toSeq) // bit-identical through the capped hub
+    assert(a.length === 1)
+    assert(a.head.getLong(5) === 5000L)                       // exact support
+    assert(a.head.getString(4).split('|').length === 1024)    // capped witnesses
+    assert(a.head.getString(4).startsWith("https://h.ex/00000|https://h.ex/00001"))
+  }
 }

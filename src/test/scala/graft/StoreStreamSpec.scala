@@ -72,6 +72,48 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(r2.nTriples == r1.nTriples && r2.nNodes == r1.nNodes)
   }
 
+  test("store census == q_graph_census: every censused family persists at full cardinality") {
+    val base = Files.createTempDirectory("pipe_census_").toString
+    Pipeline.run(spark, TestSpark.sf0001, base, partitions = 8)
+    val nodes = GraphStore.readLatest(spark, base, "nodes").get
+    val edges = GraphStore.readLatest(spark, base, "edges").get
+    val storeCensus = nodes.select(col("label"))
+      .unionByName(edges.select(col("relation_label").as("label")))
+      .groupBy("label").count()
+      .as[(String, Long)].collect().toMap
+    val census = SparkEntry.queries("q_graph_census")(spark, TestSpark.sf0001)
+      .as[(String, Long)].collect().toMap
+    assert(census.nonEmpty)
+    // the committed store is NOT thinner than the declared/censused
+    // schema: every censused family lands in the store at its exact
+    // cardinality (complete entity universes make skip-bad-
+    // relationships a no-op for declared families)
+    census.foreach { case (label, n) =>
+      assert(storeCensus.get(label).contains(n),
+        s"family '$label': store=${storeCensus.get(label)} vs census=$n")
+    }
+    // every declared edge family is populated in the store
+    val declared = graft.schema.KgSchema.edgeTypes.keySet
+    val present = edges.select("relation_label").distinct().as[String].collect().toSet
+    assert(declared.subsetOf(present),
+      s"missing families: ${declared -- present}")
+    // near_dup_of rows in the store == the q_dup_edges oracle query
+    val dupStore = edges.filter(col("relation_label") === "near_dup_of")
+      .select("subject_id", "object_id", "properties")
+      .select(col("subject_id"), col("object_id"),
+        col("properties")("common").cast("long").as("common"))
+      .orderBy("subject_id", "object_id")
+      .as[(String, String, Long)].collect().toSeq
+    val dupQ = SparkEntry.queries("q_dup_edges")(spark, TestSpark.sf0001)
+      .select(col("subject_id"), col("object_id"), col("common").cast("long"))
+      .orderBy("subject_id", "object_id")
+      .as[(String, String, Long)].collect().toSeq
+    assert(dupStore.nonEmpty && dupStore == dupQ)
+    // store-side conformance: zero violations across all families
+    assert(graft.schema.KgSchema.edgeViolations(edges).isEmpty)
+    assert(graft.schema.KgSchema.nodeViolations(nodes).isEmpty)
+  }
+
   test("streaming: hourly agg over readStream equals batch result") {
     // FileStreamSource needs a directory, not a single parquet file
     val dir = Files.createTempDirectory("ev_")

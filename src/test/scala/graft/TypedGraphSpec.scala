@@ -114,6 +114,28 @@ class TypedGraphSpec extends AnyFunSuite {
     assert(KgSchema.edgeViolations(edges).isEmpty)
   }
 
+  test("breadth block 3: all eight round-4 edge families pass endpoint-prefix conformance") {
+    val sf = TestSpark.sf0001
+    val canonT = Corpus.canonicalIds(spark, sf)
+    val edges = Seq(
+      Corpus.sharesPartEdges(spark, sf, canonT),
+      Corpus.coPurchasedEdges(spark, sf),
+      Corpus.citesEdges(spark, sf),
+      Corpus.touchedEdges(spark, sf),
+      Corpus.peerOfEdges(spark, sf),
+      Corpus.nextOrderEdges(spark, sf),
+      Corpus.returnedEdges(spark, sf, canonT),
+      Corpus.shipsToEdges(spark, sf))
+      .map(_.select("subject_id", "relation_label", "object_id"))
+      .reduce(_ unionByName _)
+    assert(KgSchema.edgeViolations(edges).isEmpty)
+    // every declared family is actually populated at fixture scale
+    val present = edges.select("relation_label").distinct()
+      .as[String].collect().toSet
+    assert(present == Set("shares_part", "co_purchased_with", "cites",
+      "touched", "peer_of", "next_order", "returned", "ships_to"))
+  }
+
   test("taxon-checked canonicalization maps a symbol only under its organism") {
     // symbol CDC42 exists for human (9606) and yeast (4932) with different
     // canonical targets (the ppi_adapter.py:478-509 guard).
