@@ -95,6 +95,51 @@ object GraphStore {
              partitionByCols: Seq[String] = Nil, inputFp: String = "",
              lineageAsync: Boolean = false): Long = {
     val next = latestSnapshot(base, stage) + 1
+    writeSnapshot(spark, base, stage, next, df, partitionByCols, inputFp,
+      lineageAsync)
+  }
+
+  /** Idempotent MICRO-BATCH commit (the foreachBatch sink contract):
+    * snapshot id IS the stream's batchId, so a failure-replayed batch
+    * either finds its committed manifest and skips, or re-writes the
+    * never-committed corpse — a batch can never double-commit. Lineage
+    * and the atomic manifest rename are synchronous (a streaming batch
+    * is only "done" when its snapshot is durable). Returns true if this
+    * call committed, false if the batch was already committed. */
+  def commitBatch(spark: SparkSession, base: String, stage: String,
+                  batchId: Long, df: DataFrame, inputFp: String = ""): Boolean = {
+    if (Files.exists(snapDir(base, stage, batchId).resolve("manifest.json")))
+      false
+    else {
+      writeSnapshot(spark, base, stage, batchId, df, Nil, inputFp,
+        lineageAsync = false)
+      true
+    }
+  }
+
+  /** Union of ALL committed snapshots of a stage — the read surface of
+    * the micro-batch append model (each batchId is one snapshot; the
+    * stage's table is their union), vs [[readLatest]]'s
+    * whole-stage-replacement model. */
+  def readAllSnapshots(spark: SparkSession, base: String,
+                       stage: String): Option[DataFrame] = {
+    val d = stageDir(base, stage)
+    if (!Files.isDirectory(d)) return None
+    val s = Files.list(d)
+    val dirs =
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("snapshot="))
+        .filter(p => Files.exists(p.resolve("manifest.json")))
+        .map(_.resolve("data").toString).toSeq
+      finally s.close()
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*))
+  }
+
+  private def writeSnapshot(spark: SparkSession, base: String, stage: String,
+                            next: Long, df: DataFrame,
+                            partitionByCols: Seq[String], inputFp: String,
+                            lineageAsync: Boolean): Long = {
     val dir = snapDir(base, stage, next)
     val t0 = System.nanoTime()
 

@@ -54,6 +54,29 @@ object StreamOps {
     graft.link.Linker.mentions(text, dict)
   }
 
+  /** Continuous KG construction INTO the snapshot store: the streaming
+    * front half ([[mentionsStream]]) sunk via foreachBatch, each
+    * micro-batch committing ONE idempotent store snapshot whose id is
+    * the batchId (GraphStore.commitBatch — a failure-replayed batch
+    * skips its committed manifest or re-writes its corpse, the same
+    * commit-is-the-manifest guarantee as the batch pipeline). The
+    * stage's table is the union of batch snapshots
+    * (GraphStore.readAllSnapshots); the batch back half (entity sets →
+    * triples/evidence) runs over that union unchanged — streamed store
+    * ≡ batch store, spec-asserted in StoreStreamSpec. The caller
+    * `.start()`s the returned writer (and picks a trigger). */
+  def mentionsIntoStore(pages: DataFrame, dict: DataFrame, storeBase: String,
+                        stage: String = "mentions_stream")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    mentionsStream(pages, dict).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.store.GraphStore.commitBatch(
+          batch.sparkSession, storeBase, stage, batchId, batch,
+          inputFp = s"stream;stage=$stage;batch=$batchId")
+        ()
+      }
+
   /** Streaming exact-dedup with CUSTOM STATE (flatMapGroupsWithState —
     * SURVEY §2.11's KeyValueGroupedDataset surface): the first document
     * ever seen for each text hash is emitted; every later duplicate —

@@ -175,6 +175,53 @@ class StoreStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming into the store: micro-batch snapshots union to the batch store; replay is idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.RawPage
+    import graft.fixtures.Corpus
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("stream_store_").toString
+    val pages = Corpus.pages(spark, TestSpark.sf0001)
+      .select($"url", $"html").limit(300)
+      .as[RawPage].collect()
+    val dict = Corpus.aliasDict(spark, TestSpark.sf0001)
+
+    val in = MemoryStream[RawPage]
+    val q = StreamOps.mentionsIntoStore(in.toDF(), dict, base).start()
+    val (b1, rest) = pages.splitAt(100)
+    val (b2, b3) = rest.splitAt(100)
+    Seq(b1, b2, b3).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+
+    // three committed snapshots, ids = batch ids
+    assert(GraphStore.latestSnapshot(base, "mentions_stream") == 2L)
+    val streamed = GraphStore.readAllSnapshots(spark, base, "mentions_stream").get
+    val batchMentions = graft.link.Linker.mentions(
+      spark.createDataset(pages.toSeq).toDF()
+        .select($"url", graft.extract.HtmlText.htmlText($"html").as("text")),
+      dict)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batchMentions).isEmpty &&
+      batchMentions.exceptAll(streamed).isEmpty)
+
+    // replaying an already-committed batch id is a no-op (foreachBatch
+    // failure-recovery contract)
+    val dupRows = spark.createDataset(b1.toSeq).toDF()
+      .select($"url", graft.extract.HtmlText.htmlText($"html").as("text"))
+    val committed = GraphStore.commitBatch(spark, base, "mentions_stream", 0L,
+      graft.link.Linker.mentions(dupRows, dict))
+    assert(!committed)
+    assert(GraphStore.readAllSnapshots(spark, base, "mentions_stream").get.count()
+      == streamed.count())
+
+    // the batch back half over the streamed union == the batch triples
+    val canon = Corpus.canonicalIds(spark, TestSpark.sf0001)
+    val streamedTriples = graft.triples.Triples.extract(streamed, canon)
+    val batchTriples = graft.triples.Triples.extract(batchMentions, canon)
+    assert(streamedTriples.exceptAll(batchTriples).isEmpty &&
+      batchTriples.exceptAll(streamedTriples).isEmpty)
+  }
+
   test("streaming dedup agrees with batch exactDedup canonical ids") {
     import graft.streaming.HashedDoc
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
