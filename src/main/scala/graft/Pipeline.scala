@@ -42,6 +42,35 @@ object Pipeline {
         concat(col("url"), lit("#"), col("rep")).as("url"),
         col("warc_ts"), col("html"), col("text"), col("lang"))
 
+  /** Per-stage Spark task counters (attribution discipline: a stage
+    * wall that moves between runs is explained by its own counters —
+    * task run/CPU time, shuffle and scan volume — not by guessing at
+    * host variance). Stages that overlap via the async futures are
+    * attributed to the mark window in which their Spark stages
+    * COMPLETE; the wall/cpu split plus these volumes is what separates
+    * "the host was slow" (run time up, volumes flat) from "the code
+    * did more" (volumes up). */
+  private final class StageCounters extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val runMs = new AtomicLong; val cpuNs = new AtomicLong
+    val shufWrite = new AtomicLong; val shufRead = new AtomicLong
+    val input = new AtomicLong; val records = new AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime)
+        cpuNs.addAndGet(m.executorCpuTime)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        input.addAndGet(m.inputMetrics.bytesRead)
+        records.addAndGet(m.inputMetrics.recordsRead)
+      }
+    }
+    def snapshot: Seq[Long] = Seq(runMs.get, cpuNs.get, shufWrite.get,
+      shufRead.get, input.get, records.get)
+  }
+
   def run(spark: SparkSession, sfDir: String, storeBase: String,
           partitions: Int, mult: Int = 1): Result = {
     val t0 = System.nanoTime()
@@ -49,12 +78,22 @@ object Pipeline {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     var cpuLast = osBean.getProcessCpuTime
+    val counters = new StageCounters
+    spark.sparkContext.addSparkListener(counters)
+    var cLast = counters.snapshot
     def mark(stage: String): Unit = {
       val now = System.nanoTime()
       val cpuNow = osBean.getProcessCpuTime
-      println(f"[pipeline] $stage wall=${(now - tLast) / 1e9}%.1fs cpu=${(cpuNow - cpuLast) / 1e9}%.1fs")
+      val c = counters.snapshot
+      val d = c.zip(cLast).map { case (a, b) => a - b }
+      println(f"[pipeline] $stage wall=${(now - tLast) / 1e9}%.1fs " +
+        f"cpu=${(cpuNow - cpuLast) / 1e9}%.1fs " +
+        f"taskRun=${d(0) / 1e3}%.1fs taskCpu=${d(1) / 1e9}%.1fs " +
+        f"shufW=${d(2) / 1e6}%.0fMB shufR=${d(3) / 1e6}%.0fMB " +
+        f"scan=${d(4) / 1e6}%.0fMB rows=${d(5)}")
       tLast = now
       cpuLast = cpuNow
+      cLast = c
     }
 
     // Per-stage input fingerprints: a changed corpus or parameterization
@@ -146,6 +185,17 @@ object Pipeline {
     // props (round(_,3) float, commaInt-parsed int, bool) — the typed-
     // coercion vocabulary runs inside the flagship path, not just in
     // golden unit tests.
+    // The 20+ family builders below each scan the base tables
+    // independently (Spark has no cross-subtree scan dedup); persisting
+    // the six hot dimension tables turns ~20 re-scans into one scan +
+    // cache hits via CacheManager plan matching. persist() is lazy, so
+    // a resumed run (committed snapshots fresh) never materializes
+    // them. At 10^12-page scale these are the SMALL side — the page
+    // corpus streams, dimensions cache.
+    val hotTables = Seq("lineitem", "orders", "customer", "part",
+        "documents", "events")
+      .map(n => Corpus.table(spark, sfDir, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nodes = GraphStore.getOrCompute(spark, storeBase, "nodes",
         partitionByCols = Seq("bucket"), inputFp = fpNodes, lineageAsync = true) {
       // Multi-adapter node merge (reference: one adapter per source —
@@ -264,12 +314,14 @@ object Pipeline {
         .withColumn("bucket", pmod(xxhash64(col("subject_id")), lit(32)))
     }
     mark("edges")
+    hotTables.foreach(_.unpersist(false))
 
     Await.result(triplesF, Duration.Inf)
     val nTriples = edges.count()
     val nNodes = nodes.count()
     GraphStore.awaitPending()
     mark("finalize")
+    spark.sparkContext.removeSparkListener(counters)
     val secs = (System.nanoTime() - t0) / 1e9
     Result(nPages, nTriples, nNodes, audit, secs, nTriples / secs, nPages / secs)
   }

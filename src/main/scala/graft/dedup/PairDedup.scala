@@ -40,4 +40,45 @@ object PairDedup {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Undirected co-occurrence pairs via a BOUNDED inverted index:
+    * (k1, k2, n_common) for every pair of numeric keys sharing >= 1
+    * item, k1 < k2, n_common = the number of shared items. The posting
+    * list per item is built with the capped aggregator
+    * (BoundedAggs.cappedLongList): an item present in more than
+    * `maxDf` keys — the stopword-gram analogue of this family — holds
+    * O(maxDf) reducer state, is DETECTED via the exact df counter, and
+    * is excluded from the pair universe (logged, never silent; a df-d
+    * posting emits d·(d−1)/2 pairs, so one hot item would otherwise go
+    * quadratic). Same discipline, same aggregator, same oracle
+    * modeling as ngramJaccardPairs. Pairs then explode MAP-SIDE from
+    * each posting — no self-join. */
+  def coOccurrencePairs(df: DataFrame, itemCol: String, keyCol: String,
+                        maxDf: Long): DataFrame = {
+    require(maxDf > 0 && maxDf <= Int.MaxValue - 1, s"maxDf out of range: $maxDf")
+    val capAgg = graft.functions.BoundedAggs.cappedLongList(maxDf.toInt)
+    val post = df
+      .select(col(itemCol).as("item"), col(keyCol).cast("long").as("k"))
+      .distinct()
+      .groupBy("item").agg(capAgg(col("k")).as("pl"))
+      .filter(col("pl.total") >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nHot = post.filter(col("pl.total") > maxDf).count()
+    if (nHot > 0)
+      println(s"[coOccurrencePairs] excluded $nHot hot items with df > $maxDf")
+    val ds = col("ds")
+    val pairExpr = flatten(transform(
+      sequence(lit(0), size(ds) - 2),
+      i => transform(
+        slice(ds, i + 2, size(ds) - i - 1),
+        k2 => struct(element_at(ds, i + 1).as("k1"), k2.as("k2")))))
+    val pairs = post.filter(col("pl.total") <= maxDf)
+      .select(col("pl.items").as("ds"))
+      .select(explode(pairExpr).as("p"))
+      .groupBy(col("p.k1").as("k1"), col("p.k2").as("k2"))
+      .agg(count(lit(1)).as("n_common"))
+      .localCheckpoint(true)
+    post.unpersist(false)
+    pairs
+  }
 }

@@ -556,18 +556,20 @@ object Corpus {
     * supplying >= 1 common canonical part, n_common = the distinct
     * shared-part count (the drug-drug / comorbidity "shared neighbor"
     * analogue, §2.5 pair discipline: numeric-key ordering k1 < k2).
-    * Scale: the per-part supplier posting is bounded by the supplier
-    * dimension; a web-scale co-occurrence over an unbounded dimension
-    * would take the ngramJaccardPairs maxDf guard. */
+    * Built on the bounded inverted index (coOccurrencePairs): the
+    * per-part supplier posting is capped at [[CoOccurrenceMaxDf]]. */
+  /** df cap for the co-occurrence families below: far above any
+    * fixture-scale posting (no fixture effect), a hard bound at web
+    * scale (one hot item's posting would otherwise emit d²/2 pairs);
+    * modeled in the oracles the same way as ngram maxDf. */
+  val CoOccurrenceMaxDf = 65536L
+
   def sharesPartEdges(spark: SparkSession, sfDir: String,
                       canonTable: DataFrame): DataFrame = {
     val sp = supplyEdges(spark, sfDir, canonTable)
-      .select(regexp_replace(col("subject_id"), "^SUPP:", "").cast("long").as("sk"),
-        col("object_id").as("pid"))
-    sp.alias("a").join(sp.alias("b"),
-        col("a.pid") === col("b.pid") && col("a.sk") < col("b.sk"))
-      .groupBy(col("a.sk").as("k1"), col("b.sk").as("k2"))
-      .agg(count(lit(1)).as("n_common"))
+      .select(col("object_id").as("pid"),
+        regexp_replace(col("subject_id"), "^SUPP:", "").cast("long").as("sk"))
+    graft.dedup.PairDedup.coOccurrencePairs(sp, "pid", "sk", CoOccurrenceMaxDf)
       .select(
         concat(lit("SUPP:"), col("k1")).as("subject_id"),
         lit("shares_part").as("relation_label"),
@@ -581,11 +583,8 @@ object Corpus {
     * popularity; the >= 2 threshold keeps the emitted pair set sparse. */
   def coPurchasedEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val op = table(spark, sfDir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    op.alias("a").join(op.alias("b"),
-        col("a.pk") === col("b.pk") && col("a.ok") < col("b.ok"))
-      .groupBy(col("a.ok").as("k1"), col("b.ok").as("k2"))
-      .agg(count(lit(1)).as("n_common"))
+      .select(col("l_partkey").as("pk"), col("l_orderkey").as("ok"))
+    graft.dedup.PairDedup.coOccurrencePairs(op, "pk", "ok", CoOccurrenceMaxDf)
       .filter(col("n_common") >= 2)
       .select(
         concat(lit("ORDER:"), col("k1")).as("subject_id"),

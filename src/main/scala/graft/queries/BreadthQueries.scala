@@ -71,20 +71,31 @@ object BreadthQueries {
       |    (a,b) -> (a*31+b) % 1048576)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Both co-occurrence oracles model the engine's bounded-posting df
+    // cap (CoOccurrenceMaxDf = 65536): items hotter than the cap leave
+    // the pair universe — same modeling as the ngram maxDf oracle.
     "q_shares_part" ->
       s"""WITH $pcSql,
          |sp AS (
          |  SELECT DISTINCT l.l_suppkey sk, pc.pid
-         |  FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey)
+         |  FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey),
+         |spf AS (
+         |  SELECT sk, pid FROM (
+         |    SELECT sk, pid, count(*) OVER (PARTITION BY pid) df FROM sp)
+         |  WHERE df <= 65536)
          |SELECT 'SUPP:'||a.sk subject_id, 'shares_part' relation_label,
          |       'SUPP:'||b.sk object_id, CAST(count(*) AS BIGINT) n_common
-         |FROM sp a JOIN sp b ON a.pid = b.pid AND a.sk < b.sk
+         |FROM spf a JOIN spf b ON a.pid = b.pid AND a.sk < b.sk
          |GROUP BY 1, 2, 3""".stripMargin,
     "q_co_purchased" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem)
+      """WITH op AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |opf AS (
+        |  SELECT ok, pk FROM (
+        |    SELECT ok, pk, count(*) OVER (PARTITION BY pk) df FROM op)
+        |  WHERE df <= 65536)
         |SELECT 'ORDER:'||a.ok subject_id, 'co_purchased_with' relation_label,
         |       'ORDER:'||b.ok object_id, CAST(count(*) AS BIGINT) n_common
-        |FROM op a JOIN op b ON a.pk = b.pk AND a.ok < b.ok
+        |FROM opf a JOIN opf b ON a.pk = b.pk AND a.ok < b.ok
         |GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
     "q_cites" ->
       s"""WITH f AS (

@@ -379,9 +379,16 @@ object RelationalQueries {
         |  SELECT p_partkey, min(p_partkey) OVER (PARTITION BY p_name) AS pid
         |  FROM part),
         |sp AS (
-        |  SELECT DISTINCT l.l_suppkey sk, pc.pid
-        |  FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey),
-        |op AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |  SELECT sk, pid FROM (
+        |    SELECT sk, pid, count(*) OVER (PARTITION BY pid) df FROM (
+        |      SELECT DISTINCT l.l_suppkey sk, pc.pid
+        |      FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey))
+        |  WHERE df <= 65536),
+        |op AS (
+        |  SELECT ok, pk FROM (
+        |    SELECT ok, pk, count(*) OVER (PARTITION BY pk) df FROM (
+        |      SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem))
+        |  WHERE df <= 65536),
         |docfp AS (
         |  SELECT doc_id,
         |         list_reduce([0] || list_transform(string_split(text, ' '),
