@@ -715,6 +715,100 @@ object Corpus {
         col("n_orders"))
   }
 
+  // -----------------------------------------------------------------
+  // Breadth block 4 (round 4, second half): five further families —
+  // SimHash near-dup as a first-class edge family, Markov event
+  // transitions, a 2-hop dimension rollup, top-1-per-group as an edge,
+  // and exact embedding-ANN top-1 between canonical product nodes.
+  // -----------------------------------------------------------------
+
+  /** (DOC, similar_to, DOC) — SimHash hamming <= 3 near-dup pairs over
+    * the raw documents (the second dedup algorithm emitted as typed KG
+    * edges, alongside MinHash's near_dup_of). */
+  def similarToEdges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.textops.DedupOps.simhashNearDupPairs(
+        table(spark, sfDir, "documents").select("doc_id", "text"),
+        "doc_id", "text")
+      .select(
+        concat(lit("DOC:"), col("id1")).as("subject_id"),
+        lit("similar_to").as("relation_label"),
+        concat(lit("DOC:"), col("id2")).as("object_id"),
+        col("hamming"))
+
+  /** (EVT, followed_by, EVT) — the event-type transition graph: per
+    * user, consecutive events by (ts, event_id); transitions aggregated
+    * with int counts (a Markov-chain edge family over the stream). */
+  def followedByEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type"))
+      .agg(count(lit(1)).as("n_times"))
+      .select(
+        concat(lit("EVT:"), col("prev")).as("subject_id"),
+        lit("followed_by").as("relation_label"),
+        concat(lit("EVT:"), col("event_type")).as("object_id"),
+        col("n_times"))
+  }
+
+  /** (CUST, located_in_region, REGION) — a 2-hop dimension rollup
+    * (customer -> nation -> region) via broadcast joins. */
+  def locatedInRegionEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = table(spark, sfDir, "nation").select("n_nationkey", "n_regionkey")
+    table(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        concat(lit("CUST:"), col("c_custkey")).as("subject_id"),
+        lit("located_in_region").as("relation_label"),
+        concat(lit("REGION:"), col("n_regionkey")).as("object_id"))
+  }
+
+  /** (PART-canonical, best_supplied_by, SUPP) — the A1 top-1-per-group
+    * pattern as an edge family: per canonical part, the supplier with
+    * the highest total quantity (micro-units; ties -> min suppkey). */
+  def bestSupplierEdges(spark: SparkSession, sfDir: String,
+                        canonTable: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = graft.canon.Canonicalize.rank1(canonTable)
+    val agg = table(spark, sfDir, "lineitem")
+      .select(
+        concat(lit("PARTRAW:"), col("l_partkey")).as("raw_object"),
+        col("l_suppkey"), col("l_quantity"))
+      .join(broadcast(canon), col("raw_object") === col("raw_id"))
+      .groupBy(col("canonical_id").as("pid"), col("l_suppkey"))
+      .agg(sum(floor(col("l_quantity") * 1000 + 0.5).cast("long")).as("qty_milli"))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("qty_milli").desc, col("l_suppkey"))
+    agg.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(
+        col("pid").as("subject_id"),
+        lit("best_supplied_by").as("relation_label"),
+        concat(lit("SUPP:"), col("l_suppkey")).as("object_id"),
+        col("qty_milli"))
+  }
+
+  /** (PART-canonical, closest_to, PART-canonical) — each canonical
+    * product's exact cosine nearest neighbor among the canonical-part
+    * embeddings (ANN as a first-class KG edge family; the exact
+    * baseline is fine here because the vector set is one-per-node —
+    * the LSH/IVF scale paths exist alongside in `sim/`). */
+  def closestPartEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val mk = table(spark, sfDir, "part").groupBy(col("p_name")).agg(
+      regexp_replace(min(concat(lit("PARTRAW:"), col("p_partkey"))), "^PARTRAW:", "")
+        .cast("long").as("minkey"))
+    val corpus = table(spark, sfDir, "embeddings")
+      .join(mk, col("vec_id") === col("minkey"))
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    graft.sim.Knn.bruteForceTopK(corpus, corpus, k = 1)
+      .select(
+        concat(lit("PART:"), col("vec_id")).as("subject_id"),
+        lit("closest_to").as("relation_label"),
+        concat(lit("PART:"), col("neighbor_id")).as("object_id"))
+  }
+
   /** Same-name chain edges over parts: consecutive partkeys within each
     * p_name group, i.e. a path graph per name (NOT a clique) — the
     * connected-components stage must actually propagate labels along

@@ -53,6 +53,27 @@ object BreadthQueries {
     "q_ships_to" -> ((s, dir) => {
       tune(s)
       Corpus.shipsToEdges(s, dir)
+    }),
+    // Breadth block 4.
+    "q_similar_to" -> ((s, dir) => {
+      tune(s)
+      Corpus.similarToEdges(s, dir)
+    }),
+    "q_followed_by" -> ((s, dir) => {
+      tune(s)
+      Corpus.followedByEdges(s, dir)
+    }),
+    "q_located_region" -> ((s, dir) => {
+      tune(s)
+      Corpus.locatedInRegionEdges(s, dir)
+    }),
+    "q_best_supplier" -> ((s, dir) => {
+      tune(s)
+      Corpus.bestSupplierEdges(s, dir, Corpus.canonicalIds(s, dir))
+    }),
+    "q_closest_part" -> ((s, dir) => {
+      tune(s)
+      Corpus.closestPartEdges(s, dir)
     })
   )
 
@@ -152,6 +173,52 @@ object BreadthQueries {
         |FROM lineitem l
         |JOIN orders o ON o.o_orderkey = l.l_orderkey
         |JOIN customer c ON c.c_custkey = o.o_custkey
-        |GROUP BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_similar_to" ->
+      s"""SELECT 'DOC:'||id1 subject_id, 'similar_to' relation_label,
+         |       'DOC:'||id2 object_id, hamming
+         |FROM (${TextQueries.simhashSqlOver("SELECT doc_id, text FROM documents")})""".stripMargin,
+    "q_followed_by" ->
+      """SELECT 'EVT:'||prev subject_id, 'followed_by' relation_label,
+        |       'EVT:'||event_type object_id, CAST(count(*) AS BIGINT) n_times
+        |FROM (SELECT event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts, event_id) prev
+        |      FROM events)
+        |WHERE prev IS NOT NULL GROUP BY 1, 2, 3""".stripMargin,
+    "q_located_region" ->
+      """SELECT 'CUST:'||c.c_custkey subject_id,
+        |       'located_in_region' relation_label,
+        |       'REGION:'||n.n_regionkey object_id
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey""".stripMargin,
+    "q_best_supplier" ->
+      s"""WITH $pcSql,
+         |agg AS (
+         |  SELECT pc.pid, l.l_suppkey,
+         |         CAST(sum(CAST(floor(l.l_quantity*1000+0.5) AS BIGINT)) AS BIGINT) qty_milli
+         |  FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey
+         |  GROUP BY 1, 2)
+         |SELECT pid subject_id, 'best_supplied_by' relation_label,
+         |       'SUPP:'||l_suppkey object_id, qty_milli
+         |FROM (SELECT pid, l_suppkey, qty_milli,
+         |             row_number() OVER (PARTITION BY pid
+         |               ORDER BY qty_milli DESC, l_suppkey) rn
+         |      FROM agg)
+         |WHERE rn = 1""".stripMargin,
+    "q_closest_part" ->
+      """WITH mk AS (
+        |  SELECT CAST(replace(min('PARTRAW:' || p_partkey), 'PARTRAW:', '') AS BIGINT) minkey
+        |  FROM part GROUP BY p_name),
+        |ce AS (
+        |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) emb
+        |  FROM embeddings e JOIN mk ON mk.minkey = e.vec_id)
+        |SELECT 'PART:'||vec_id subject_id, 'closest_to' relation_label,
+        |       'PART:'||neighbor_id object_id
+        |FROM (
+        |  SELECT a.vec_id, b.vec_id neighbor_id,
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |           ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, b.vec_id) rn
+        |  FROM ce a JOIN ce b ON b.vec_id <> a.vec_id)
+        |WHERE rn = 1""".stripMargin
   )
 }

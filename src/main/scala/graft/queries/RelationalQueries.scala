@@ -204,11 +204,15 @@ object RelationalQueries {
         Corpus.ofTypeEdges(s, dir), Corpus.performedEdges(s, dir),
         Corpus.writtenInEdges(s, dir), Corpus.fromSourceEdges(s, dir),
         Corpus.fulfillsEdges(s, dir),
-        // breadth block 3 (round 4)
+        // breadth blocks 3 + 4 (round 4)
         Corpus.sharesPartEdges(s, dir, canon), Corpus.coPurchasedEdges(s, dir),
         Corpus.citesEdges(s, dir), Corpus.touchedEdges(s, dir),
         Corpus.peerOfEdges(s, dir), Corpus.nextOrderEdges(s, dir),
-        Corpus.returnedEdges(s, dir, canon), Corpus.shipsToEdges(s, dir))
+        Corpus.returnedEdges(s, dir, canon), Corpus.shipsToEdges(s, dir),
+        Corpus.similarToEdges(s, dir), Corpus.followedByEdges(s, dir),
+        Corpus.locatedInRegionEdges(s, dir),
+        Corpus.bestSupplierEdges(s, dir, canon),
+        Corpus.closestPartEdges(s, dir))
         .map(_.select(col("relation_label").as("label"),
           concat(col("subject_id"), lit(">"), col("object_id")).as("k")))
       (nodeFams ++ edgeFams).reduce(_ unionByName _)
@@ -455,7 +459,25 @@ object RelationalQueries {
         |UNION ALL SELECT 'ships_to', CAST(count(*) AS BIGINT)
         |  FROM (SELECT DISTINCT l.l_suppkey, c.c_nationkey
         |        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-        |        JOIN customer c ON c.c_custkey = o.o_custkey)""".stripMargin,
+        |        JOIN customer c ON c.c_custkey = o.o_custkey)
+        |UNION ALL SELECT 'similar_to', CAST(count(*) AS BIGINT)
+        |  FROM (__SIMHASH_RAW__)
+        |UNION ALL SELECT 'followed_by', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT prev, event_type FROM (
+        |          SELECT event_type, lag(event_type) OVER (
+        |            PARTITION BY user_id ORDER BY ts, event_id) prev
+        |          FROM events)
+        |        WHERE prev IS NOT NULL)
+        |UNION ALL SELECT 'located_in_region', CAST(count(*) AS BIGINT) FROM customer
+        |UNION ALL SELECT 'best_supplied_by', CAST(count(DISTINCT pc.pid) AS BIGINT)
+        |  FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey
+        |UNION ALL SELECT 'closest_to', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT CAST(replace(min('PARTRAW:' || p_partkey), 'PARTRAW:', '') AS BIGINT) minkey
+        |        FROM part GROUP BY p_name) mk
+        |  JOIN embeddings e ON e.vec_id = mk.minkey""".stripMargin
+      .replace("__SIMHASH_RAW__",
+        graft.queries.TextQueries.simhashSqlOver(
+          "SELECT doc_id, text FROM documents")),
     "q_user_events" ->
       """SELECT 'USER:'||user_id subject_id, 'performed' relation_label,
         |       'EVT:'||event_type object_id,

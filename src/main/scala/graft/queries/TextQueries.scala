@@ -138,15 +138,16 @@ object TextQueries {
        |FROM (${minhashSqlOver("SELECT doc_id, text FROM documents")})""".stripMargin
 
   /** DuckDB mirror of simhashNearDupPairs (31-bit signature, 4×8-bit
-    * chunk banding, hamming <= 3). */
-  private val simhashSql: String = {
+    * chunk banding, hamming <= 3) over an arbitrary (doc_id, text)
+    * source CTE. */
+  private[queries] def simhashSqlOver(srcSql: String): String = {
     val sigBits = (0 until 31).map { b =>
       s"(CASE WHEN list_reduce([CAST(0 AS BIGINT)] || list_transform(hs, " +
         s"h -> ((h >> $b) & 1) * 2 - 1), (a, c) -> a + c) > 0 " +
         s"THEN ${1L << b} ELSE 0 END)"
     }.mkString(" +\n  ")
     s"""WITH d AS (
-       |  $dupsSql),
+       |  $srcSql),
        |th AS (SELECT doc_id, ${codesSql(2147483647L)} hs FROM d),
        |sig AS (SELECT doc_id, $sigBits sig FROM th),
        |ch AS (
@@ -161,6 +162,8 @@ object TextQueries {
        |SELECT id1, id2, bit_count(xor(s1, s2)) hamming
        |FROM cand WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin
   }
+
+  private val simhashSql: String = simhashSqlOver(dupsSql)
 
   val oracleSql: Map[String, String] = Map(
     "q_minhash_neardup" -> minhashSql,

@@ -124,7 +124,17 @@ object KgSchema {
     "returned" -> EdgeType("returned", "customer", "product",
       Map("n_returns" -> PInt, "qty_milli" -> PInt)),
     "ships_to" -> EdgeType("ships_to", "supplier", "nation",
-      Map("n_orders" -> PInt)))
+      Map("n_orders" -> PInt)),
+    // Breadth block 4 — 30 edge families total.
+    "similar_to" -> EdgeType("similar_to", "document", "document",
+      Map("hamming" -> PInt)),
+    "followed_by" -> EdgeType("followed_by", "event_type", "event_type",
+      Map("n_times" -> PInt)),
+    "located_in_region" -> EdgeType("located_in_region", "customer", "region",
+      Map.empty),
+    "best_supplied_by" -> EdgeType("best_supplied_by", "product", "supplier",
+      Map("qty_milli" -> PInt)),
+    "closest_to" -> EdgeType("closest_to", "product", "product", Map.empty))
 
   /** The scalar-prop keys a label may carry in its `props` map. */
   private def scalarKeys(label: String): Seq[String] =

@@ -125,7 +125,12 @@ class TypedGraphSpec extends AnyFunSuite {
       Corpus.peerOfEdges(spark, sf),
       Corpus.nextOrderEdges(spark, sf),
       Corpus.returnedEdges(spark, sf, canonT),
-      Corpus.shipsToEdges(spark, sf))
+      Corpus.shipsToEdges(spark, sf),
+      Corpus.similarToEdges(spark, sf),
+      Corpus.followedByEdges(spark, sf),
+      Corpus.locatedInRegionEdges(spark, sf),
+      Corpus.bestSupplierEdges(spark, sf, canonT),
+      Corpus.closestPartEdges(spark, sf))
       .map(_.select("subject_id", "relation_label", "object_id"))
       .reduce(_ unionByName _)
     assert(KgSchema.edgeViolations(edges).isEmpty)
@@ -133,7 +138,9 @@ class TypedGraphSpec extends AnyFunSuite {
     val present = edges.select("relation_label").distinct()
       .as[String].collect().toSet
     assert(present == Set("shares_part", "co_purchased_with", "cites",
-      "touched", "peer_of", "next_order", "returned", "ships_to"))
+      "touched", "peer_of", "next_order", "returned", "ships_to",
+      "similar_to", "followed_by", "located_in_region",
+      "best_supplied_by", "closest_to"))
   }
 
   test("taxon-checked canonicalization maps a symbol only under its organism") {
