@@ -809,6 +809,22 @@ object Corpus {
         concat(lit("PART:"), col("neighbor_id")).as("object_id"))
   }
 
+  /** (USER, co_active_with, USER) — users sharing >= 1 touched
+    * document (co-occurrence through the event stream's JSON doc refs),
+    * via the same bounded inverted index as shares_part: per-doc user
+    * postings capped at [[CoOccurrenceMaxDf]], n_common = shared docs. */
+  def coActiveEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = touchedEdges(spark, sfDir)
+      .select(col("object_id").as("doc"),
+        regexp_replace(col("subject_id"), "^USER:", "").cast("long").as("uid"))
+    graft.dedup.PairDedup.coOccurrencePairs(ud, "doc", "uid", CoOccurrenceMaxDf)
+      .select(
+        concat(lit("USER:"), col("k1")).as("subject_id"),
+        lit("co_active_with").as("relation_label"),
+        concat(lit("USER:"), col("k2")).as("object_id"),
+        col("n_common"))
+  }
+
   /** Same-name chain edges over parts: consecutive partkeys within each
     * p_name group, i.e. a path graph per name (NOT a clique) — the
     * connected-components stage must actually propagate labels along
