@@ -109,7 +109,7 @@ object Pipeline {
     // text-mentioned ones) and all 25 edge families.
     val fpNodes = s"nodes-typed-v5;$fpCanon;attrs=nodeAttrs;full-univ;" +
       "+order+doc+ptype+user+evt+lang+src+supp+region+brand+seg"
-    val fpEdges = s"edges-fused-v7;$fpMentions;$fpCanon;all-31-families"
+    val fpEdges = s"edges-fused-v7;$fpMentions;$fpCanon;all-30-families-v2"
 
     // Stage-commit pipelining: independent stages run as concurrent
     // Spark jobs (the scheduler interleaves their tasks), and each
@@ -269,7 +269,7 @@ object Pipeline {
         df.select(col("subject_id"), col("relation_label"), col("object_id"),
           m.as("properties"))
       }
-      // ALL remaining declared edge families (KgSchema: 31 total) ride
+      // ALL remaining declared edge families (KgSchema: 30 total) ride
       // the same store path — the persisted graph IS the declared
       // schema, not a subset (store census == q_graph_census, spec'd).
       val nearDup = graft.textops.DedupOps.minhashNearDupPairs(
@@ -310,8 +310,7 @@ object Pipeline {
         props(Corpus.followedByEdges(spark, sfDir), "n_times"),
         props(Corpus.locatedInRegionEdges(spark, sfDir)),
         props(Corpus.bestSupplierEdges(spark, sfDir, canon), "qty_milli"),
-        props(Corpus.closestPartEdges(spark, sfDir)),
-        props(Corpus.coActiveEdges(spark, sfDir), "n_common"))
+        props(Corpus.closestPartEdges(spark, sfDir)))
       val ids = nodes.select(col("id"))
       (fused +: rest)
         .reduce(_ unionByName _)

@@ -602,9 +602,13 @@ object Corpus {
     import graft.textops.TextOps
     val d = table(spark, sfDir, "documents")
     val n = d.count()
+    // fp is let-bound so the token fold runs once per row (deriving
+    // `target` in a later projection would get CollapseProject-inlined
+    // into a second full fingerprint computation).
     d.select(col("doc_id"),
-        pmod(TextOps.fingerprint(TextOps.tokens(col("text"))), lit(n)).as("target"),
-        TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
+        TextOps.let(TextOps.fingerprint(TextOps.tokens(col("text"))),
+          fp => struct(fp.as("fp"), pmod(fp, lit(n)).as("target"))).as("s"))
+      .select(col("doc_id"), col("s.fp").as("fp"), col("s.target").as("target"))
       .filter(col("target") =!= col("doc_id"))
       .select(
         concat(lit("DOC:"), col("doc_id")).as("subject_id"),
@@ -807,22 +811,6 @@ object Corpus {
         concat(lit("PART:"), col("vec_id")).as("subject_id"),
         lit("closest_to").as("relation_label"),
         concat(lit("PART:"), col("neighbor_id")).as("object_id"))
-  }
-
-  /** (USER, co_active_with, USER) — users sharing >= 1 touched
-    * document (co-occurrence through the event stream's JSON doc refs),
-    * via the same bounded inverted index as shares_part: per-doc user
-    * postings capped at [[CoOccurrenceMaxDf]], n_common = shared docs. */
-  def coActiveEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val ud = touchedEdges(spark, sfDir)
-      .select(col("object_id").as("doc"),
-        regexp_replace(col("subject_id"), "^USER:", "").cast("long").as("uid"))
-    graft.dedup.PairDedup.coOccurrencePairs(ud, "doc", "uid", CoOccurrenceMaxDf)
-      .select(
-        concat(lit("USER:"), col("k1")).as("subject_id"),
-        lit("co_active_with").as("relation_label"),
-        concat(lit("USER:"), col("k2")).as("object_id"),
-        col("n_common"))
   }
 
   /** Same-name chain edges over parts: consecutive partkeys within each

@@ -74,10 +74,6 @@ object BreadthQueries {
     "q_closest_part" -> ((s, dir) => {
       tune(s)
       Corpus.closestPartEdges(s, dir)
-    }),
-    "q_co_active" -> ((s, dir) => {
-      tune(s)
-      Corpus.coActiveEdges(s, dir)
     })
   )
 
@@ -223,21 +219,6 @@ object BreadthQueries {
         |         row_number() OVER (PARTITION BY a.vec_id
         |           ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, b.vec_id) rn
         |  FROM ce a JOIN ce b ON b.vec_id <> a.vec_id)
-        |WHERE rn = 1""".stripMargin,
-    "q_co_active" ->
-      """WITH ud AS (
-        |  SELECT DISTINCT e.user_id uid,
-        |         CAST(regexp_extract(e.props, '"k": ([0-9]+)', 1) AS BIGINT) doc
-        |  FROM events e),
-        |udx AS (
-        |  SELECT ud.uid, ud.doc FROM ud JOIN documents d ON d.doc_id = ud.doc),
-        |udf AS (
-        |  SELECT uid, doc FROM (
-        |    SELECT uid, doc, count(*) OVER (PARTITION BY doc) df FROM udx)
-        |  WHERE df <= 65536)
-        |SELECT 'USER:'||a.uid subject_id, 'co_active_with' relation_label,
-        |       'USER:'||b.uid object_id, CAST(count(*) AS BIGINT) n_common
-        |FROM udf a JOIN udf b ON a.doc = b.doc AND a.uid < b.uid
-        |GROUP BY 1, 2, 3""".stripMargin
+        |WHERE rn = 1""".stripMargin
   )
 }

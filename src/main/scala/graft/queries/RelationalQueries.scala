@@ -212,7 +212,7 @@ object RelationalQueries {
         Corpus.similarToEdges(s, dir), Corpus.followedByEdges(s, dir),
         Corpus.locatedInRegionEdges(s, dir),
         Corpus.bestSupplierEdges(s, dir, canon),
-        Corpus.closestPartEdges(s, dir), Corpus.coActiveEdges(s, dir))
+        Corpus.closestPartEdges(s, dir))
         .map(_.select(col("relation_label").as("label"),
           concat(col("subject_id"), lit(">"), col("object_id")).as("k")))
       (nodeFams ++ edgeFams).reduce(_ unionByName _)
@@ -474,17 +474,7 @@ object RelationalQueries {
         |UNION ALL SELECT 'closest_to', CAST(count(*) AS BIGINT)
         |  FROM (SELECT CAST(replace(min('PARTRAW:' || p_partkey), 'PARTRAW:', '') AS BIGINT) minkey
         |        FROM part GROUP BY p_name) mk
-        |  JOIN embeddings e ON e.vec_id = mk.minkey
-        |UNION ALL SELECT 'co_active_with', CAST(count(*) AS BIGINT)
-        |  FROM (SELECT DISTINCT a.uid u1, b.uid u2
-        |        FROM (SELECT DISTINCT e.user_id uid,
-        |                     CAST(regexp_extract(e.props, '"k": ([0-9]+)', 1) AS BIGINT) doc
-        |              FROM events e) a
-        |        JOIN (SELECT DISTINCT e.user_id uid,
-        |                     CAST(regexp_extract(e.props, '"k": ([0-9]+)', 1) AS BIGINT) doc
-        |              FROM events e) b
-        |          ON a.doc = b.doc AND a.uid < b.uid
-        |        JOIN documents d ON d.doc_id = a.doc)""".stripMargin
+        |  JOIN embeddings e ON e.vec_id = mk.minkey""".stripMargin
       .replace("__SIMHASH_RAW__",
         graft.queries.TextQueries.simhashSqlOver(
           "SELECT doc_id, text FROM documents")),

@@ -134,9 +134,7 @@ object KgSchema {
       Map.empty),
     "best_supplied_by" -> EdgeType("best_supplied_by", "product", "supplier",
       Map("qty_milli" -> PInt)),
-    "closest_to" -> EdgeType("closest_to", "product", "product", Map.empty),
-    "co_active_with" -> EdgeType("co_active_with", "user", "user",
-      Map("n_common" -> PInt)))
+    "closest_to" -> EdgeType("closest_to", "product", "product", Map.empty))
 
   /** The scalar-prop keys a label may carry in its `props` map. */
   private def scalarKeys(label: String): Seq[String] =

@@ -22,7 +22,10 @@ object DumpPlans {
       "q_mentions_ranked", "q_merge_edges", "q_semi_join",
       "q_doc_stats", "q_knn_cosine", "q_knn_lsh", "q_knn_ivf",
       "q_minhash_neardup", "q_pair_dedup", "q_dedup_exact",
-      "q_supply_edges", "q_merge_dti", "q_go_labels", "q_typed_edges")
+      "q_supply_edges", "q_merge_dti", "q_go_labels", "q_typed_edges",
+      "q_top1_per_group", "q_shares_part", "q_co_purchased",
+      "q_similar_to", "q_best_supplier", "q_closest_part",
+      "q_followed_by", "q_ngram_jaccard")
     val sb = new StringBuilder
     names.foreach { n =>
       sb.append(s"===== $n =====\n")

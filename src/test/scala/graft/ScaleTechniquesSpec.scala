@@ -103,6 +103,23 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(hubRow.getSeq[String](1).length === k)
   }
 
+  test("grouped top-k plans a PARTIAL WindowGroupLimit before the shuffle (no custom operator needed)") {
+    // The engine's pervasive rank<=k window pattern (top1PerGroup, ANN
+    // ranking, bucket caps) is planned by Catalyst's own
+    // InferWindowGroupLimit as map-side group-limit -> Exchange ->
+    // final group-limit — i.e. only ~k rows per group per map task
+    // shuffle, not the whole group. This is the declarative-plan
+    // dividend: a custom top-k SparkPlan would duplicate a built-in.
+    import graft.functions.Aggs
+    val df = spark.range(100000).select(
+      (col("id") % 100).as("k"), col("id").as("v"))
+    val top = Aggs.top1PerGroup(df, Seq("k"), Seq(col("v").desc))
+    val plan = top.queryExecution.executedPlan.toString
+    val n = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(n >= 2, s"expected partial+final WindowGroupLimit, plan:\n$plan")
+    assert(top.count() === 100L)
+  }
+
   test("flagship edge evidence: the salted two-phase aggregation engages and is bit-identical") {
     import graft.triples.Triples
     // a hub edge: 5000 pages all witnessing (CUST:hub, ordered, PART:1)

@@ -130,8 +130,7 @@ class TypedGraphSpec extends AnyFunSuite {
       Corpus.followedByEdges(spark, sf),
       Corpus.locatedInRegionEdges(spark, sf),
       Corpus.bestSupplierEdges(spark, sf, canonT),
-      Corpus.closestPartEdges(spark, sf),
-      Corpus.coActiveEdges(spark, sf))
+      Corpus.closestPartEdges(spark, sf))
       .map(_.select("subject_id", "relation_label", "object_id"))
       .reduce(_ unionByName _)
     assert(KgSchema.edgeViolations(edges).isEmpty)
@@ -141,7 +140,7 @@ class TypedGraphSpec extends AnyFunSuite {
     assert(present == Set("shares_part", "co_purchased_with", "cites",
       "touched", "peer_of", "next_order", "returned", "ships_to",
       "similar_to", "followed_by", "located_in_region",
-      "best_supplied_by", "closest_to", "co_active_with"))
+      "best_supplied_by", "closest_to"))
   }
 
   test("taxon-checked canonicalization maps a symbol only under its organism") {
