@@ -77,6 +77,34 @@ object StreamOps {
         ()
       }
 
+  /** FULL continuous KG construction: each micro-batch runs extract →
+    * trie linking → per-page entity sets → canonicalized triple
+    * extraction, and commits BOTH its mentions and its triple
+    * contributions as idempotent batch snapshots (two stages, one
+    * batchId — replay-safe per stage). The canonicalization table is a
+    * slowly-changing dimension, computed once by the caller. The
+    * streamed triple table is APPEND-ONLY; the exact triple set is the
+    * union of snapshots with a read-side distinct (the same triple can
+    * arrive from pages in different batches), asserted equal to the
+    * batch path in StoreStreamSpec. */
+  def triplesIntoStore(pages: DataFrame, dict: DataFrame, canon: DataFrame,
+                       storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    pages.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val mentions = mentionsStream(batch, dict)
+        graft.store.GraphStore.commitBatch(
+          spark, storeBase, "mentions_stream", batchId, mentions,
+          inputFp = s"stream;stage=mentions;batch=$batchId")
+        val triples = graft.triples.Triples.extract(mentions, canon)
+        graft.store.GraphStore.commitBatch(
+          spark, storeBase, "triples_stream", batchId, triples,
+          inputFp = s"stream;stage=triples;batch=$batchId")
+        ()
+      }
+
   /** Streaming exact-dedup with CUSTOM STATE (flatMapGroupsWithState —
     * SURVEY §2.11's KeyValueGroupedDataset surface): the first document
     * ever seen for each text hash is emitted; every later duplicate —

@@ -222,6 +222,37 @@ class StoreStreamSpec extends AnyFunSuite {
       batchTriples.exceptAll(streamedTriples).isEmpty)
   }
 
+  test("full continuous KG construction: per-batch triple commits union-distinct to the batch triple set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.RawPage
+    import graft.fixtures.Corpus
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("stream_kg_").toString
+    val pages = Corpus.pages(spark, TestSpark.sf0001)
+      .select($"url", $"html").limit(300)
+      .as[RawPage].collect()
+    val dict = Corpus.aliasDict(spark, TestSpark.sf0001)
+    val canon = Corpus.canonicalIds(spark, TestSpark.sf0001).localCheckpoint(true)
+
+    val in = MemoryStream[RawPage]
+    val q = StreamOps.triplesIntoStore(in.toDF(), dict, canon, base).start()
+    pages.grouped(100).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+
+    assert(GraphStore.latestSnapshot(base, "triples_stream") == 2L)
+    val streamed = GraphStore.readAllSnapshots(spark, base, "triples_stream").get
+      .distinct() // cross-batch triple dedup happens at read
+    val batchTriples = graft.triples.Triples.extract(
+      graft.link.Linker.mentions(
+        spark.createDataset(pages.toSeq).toDF()
+          .select($"url", graft.extract.HtmlText.htmlText($"html").as("text")),
+        dict),
+      canon)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batchTriples).isEmpty &&
+      batchTriples.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dedup agrees with batch exactDedup canonical ids") {
     import graft.streaming.HashedDoc
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
