@@ -272,14 +272,22 @@ object Pipeline {
       // ALL remaining declared edge families (KgSchema: 30 total) ride
       // the same store path — the persisted graph IS the declared
       // schema, not a subset (store census == q_graph_census, spec'd).
-      val nearDup = graft.textops.DedupOps.minhashNearDupPairs(
-          Corpus.table(spark, sfDir, "documents").select("doc_id", "text"),
-          "doc_id", "text")
-        .select(
-          concat(lit("DOC:"), col("id1")).as("subject_id"),
-          lit("near_dup_of").as("relation_label"),
-          concat(lit("DOC:"), col("id2")).as("object_id"),
-          col("common"), col("size1"), col("size2"))
+      // The three builders with EAGER actions inside (bounded-posting
+      // caps + near-dup candidate materialization) construct
+      // concurrently — their Spark jobs interleave across the task
+      // slots instead of running serially at plan-build time.
+      val nearDupF = Future {
+        graft.textops.DedupOps.minhashNearDupPairs(
+            Corpus.table(spark, sfDir, "documents").select("doc_id", "text"),
+            "doc_id", "text")
+          .select(
+            concat(lit("DOC:"), col("id1")).as("subject_id"),
+            lit("near_dup_of").as("relation_label"),
+            concat(lit("DOC:"), col("id2")).as("object_id"),
+            col("common"), col("size1"), col("size2"))
+      }
+      val sharesPartF = Future(Corpus.sharesPartEdges(spark, sfDir, canon))
+      val coPurchasedF = Future(Corpus.coPurchasedEdges(spark, sfDir))
       val rest = Seq(
         props(Corpus.placedEdges(spark, sfDir), "year"),
         props(Corpus.containsEdges(spark, sfDir, canon),
@@ -297,9 +305,9 @@ object Pipeline {
         props(Corpus.ratedEdges(spark, sfDir, canon), "med_qty_milli", "n_srcs"),
         props(Triples.coOrderedFromSets(pageSets, canon)
           .withColumn("sources", lit("web")), "sources"),
-        props(nearDup, "common", "size1", "size2"),
-        props(Corpus.sharesPartEdges(spark, sfDir, canon), "n_common"),
-        props(Corpus.coPurchasedEdges(spark, sfDir), "n_common"),
+        props(Await.result(nearDupF, Duration.Inf), "common", "size1", "size2"),
+        props(Await.result(sharesPartF, Duration.Inf), "n_common"),
+        props(Await.result(coPurchasedF, Duration.Inf), "n_common"),
         props(Corpus.citesEdges(spark, sfDir), "fp"),
         props(Corpus.touchedEdges(spark, sfDir), "n_events", "value_milli"),
         props(Corpus.peerOfEdges(spark, sfDir)),

@@ -5,12 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.fixtures.Corpus
 import graft.queries.CoreQueries.tune
 
-/** Breadth block 3 (round 4): eight further KG edge families toward
-  * the reference's ~40 edge types (schema_config.yaml:208-606 — e.g.
-  * drug_interacts_with_drug, disease_comorbid_with, side-effect and
-  * orthology tables), each re-expressed over the driver tables as a
-  * DISTINCT operator shape and each fully DuckDB-oracle-checked:
-  *   shares_part        co-occurrence pair dedup (supplier–supplier)
+/** Breadth blocks 3 + 4 (round 4): thirteen further KG edge families
+  * toward the reference's ~40 edge types (schema_config.yaml:208-606 —
+  * e.g. drug_interacts_with_drug, disease_comorbid_with, side-effect
+  * and orthology tables), each re-expressed over the driver tables as
+  * a DISTINCT operator shape and each fully DuckDB-oracle-checked:
+  *   shares_part        bounded co-occurrence pairs (supplier–supplier)
   *   co_purchased_with  thresholded co-occurrence (order–order)
   *   cites              content-derived-key self join (doc–doc)
   *   touched            JSON-prop extraction + agg (user–doc)
@@ -18,6 +18,11 @@ import graft.queries.CoreQueries.tune
   *   next_order         windowed succession + date gap (order–order)
   *   returned           filtered multi-hop + canonicalize (cust–part)
   *   ships_to           multi-hop countDistinct agg (supp–nation)
+  *   similar_to         SimHash hamming pairs as edges (doc–doc)
+  *   followed_by        Markov event transitions via lag (evt–evt)
+  *   located_in_region  2-hop dimension rollup (cust–region)
+  *   best_supplied_by   top-1-per-group as an edge (part–supp)
+  *   closest_part       exact cosine NN between node embeddings
   */
 object BreadthQueries {
 
