@@ -222,6 +222,25 @@ class StoreStreamSpec extends AnyFunSuite {
       batchTriples.exceptAll(streamedTriples).isEmpty)
   }
 
+  test("commitBatch: a killed batch's manifest-less corpse is rewritten on replay, committed once") {
+    val base = Files.createTempDirectory("batch_corpse_").toString
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // simulate a kill between data write and manifest: data files land
+    // under snapshot=7 but no manifest.json
+    val corpse = java.nio.file.Paths.get(base, "stage=s", "snapshot=7")
+    df.limit(1).write.parquet(corpse.resolve("data").toString)
+    assert(GraphStore.latestSnapshot(base, "s") == -1L) // invisible
+    assert(GraphStore.readAllSnapshots(spark, base, "s").isEmpty)
+    // the replayed batch rewrites the corpse and commits
+    assert(GraphStore.commitBatch(spark, base, "s", 7L, df))
+    assert(GraphStore.latestSnapshot(base, "s") == 7L)
+    assert(GraphStore.readAllSnapshots(spark, base, "s").get.count() == 2L)
+    // a second replay of the SAME batch id is a no-op
+    assert(!GraphStore.commitBatch(spark, base, "s", 7L, df.limit(1)))
+    assert(GraphStore.readAllSnapshots(spark, base, "s").get.count() == 2L)
+  }
+
   test("full continuous KG construction: per-batch triple commits union-distinct to the batch triple set") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.RawPage
