@@ -104,12 +104,13 @@ object Pipeline {
     val fpMentions = s"mentions-trie-v2;$fpExtract;dict=aliasDict"
     val fpCanon = s"canon-cc-v1;sfDir=$sfDir"
     val fpTriples = s"triples-v1;$fpMentions;$fpCanon"
-    // v5 (round 4): the store persists the FULL declared schema — all
-    // 14 node types (complete relational entity universes, not only
-    // text-mentioned ones) and all 25 edge families.
-    val fpNodes = s"nodes-typed-v5;$fpCanon;attrs=nodeAttrs;full-univ;" +
-      "+order+doc+ptype+user+evt+lang+src+supp+region+brand+seg"
-    val fpEdges = s"edges-fused-v7;$fpMentions;$fpCanon;all-30-families-v2"
+    // v6 (round 4 final): the store persists the FULL declared schema —
+    // all 14 node types (complete relational entity universes plus the
+    // name-family vocabulary, not only text-mentioned ones) and all 40
+    // edge families (reference edge-vocabulary parity).
+    val fpNodes = s"nodes-typed-v6;$fpCanon;attrs=nodeAttrs;full-univ;" +
+      "+order+doc+ptype+fam+user+evt+lang+src+supp+region+brand+seg"
+    val fpEdges = s"edges-fused-v8;$fpMentions;$fpCanon;all-40-families-v1"
 
     // Stage-commit pipelining: independent stages run as concurrent
     // Spark jobs (the scheduler interleaves their tasks), and each
@@ -269,13 +270,15 @@ object Pipeline {
         df.select(col("subject_id"), col("relation_label"), col("object_id"),
           m.as("properties"))
       }
-      // ALL remaining declared edge families (KgSchema: 30 total) ride
+      // ALL remaining declared edge families (KgSchema: 40 total) ride
       // the same store path — the persisted graph IS the declared
       // schema, not a subset (store census == q_graph_census, spec'd).
-      // The three builders with EAGER actions inside (bounded-posting
+      // The five builders with EAGER actions inside (bounded-posting
       // caps + near-dup candidate materialization) construct
       // concurrently — their Spark jobs interleave across the task
       // slots instead of running serially at plan-build time.
+      val bundleWithF = Future(Corpus.bundleWithEdges(spark, sfDir, canon))
+      val regulatesF = Future(Corpus.regulatesEdges(spark, sfDir))
       val nearDupF = Future {
         graft.textops.DedupOps.minhashNearDupPairs(
             Corpus.table(spark, sfDir, "documents").select("doc_id", "text"),
@@ -318,7 +321,18 @@ object Pipeline {
         props(Corpus.followedByEdges(spark, sfDir), "n_times"),
         props(Corpus.locatedInRegionEdges(spark, sfDir)),
         props(Corpus.bestSupplierEdges(spark, sfDir, canon), "qty_milli"),
-        props(Corpus.closestPartEdges(spark, sfDir)))
+        props(Corpus.closestPartEdges(spark, sfDir)),
+        // breadth block 5 — reference edge-vocabulary parity (40)
+        props(Corpus.inFamilyEdges(spark, sfDir)),
+        props(Corpus.variantOfEdges(spark, sfDir), "family"),
+        props(Await.result(bundleWithF, Duration.Inf), "n_common", "lift_milli"),
+        props(Await.result(regulatesF, Duration.Inf), "mode", "lift_milli"),
+        props(Corpus.prefersEdges(spark, sfDir), "n_events", "share_milli"),
+        props(Corpus.boughtFromEdges(spark, sfDir), "n_orders", "days_span"),
+        props(Corpus.representativeOrderEdges(spark, sfDir), "totalprice_milli"),
+        props(Corpus.chargedWithEdges(spark, sfDir), "n_items", "revenue_milli"),
+        props(Corpus.dominantLangEdges(spark, sfDir), "n_docs", "share_milli"),
+        props(Corpus.handlesEdges(spark, sfDir), "n_parts", "brands"))
       val ids = nodes.select(col("id"))
       (fused +: rest)
         .reduce(_ unionByName _)

@@ -212,7 +212,15 @@ object RelationalQueries {
         Corpus.similarToEdges(s, dir), Corpus.followedByEdges(s, dir),
         Corpus.locatedInRegionEdges(s, dir),
         Corpus.bestSupplierEdges(s, dir, canon),
-        Corpus.closestPartEdges(s, dir))
+        Corpus.closestPartEdges(s, dir),
+        // breadth block 5 (reference 40-edge-type parity)
+        Corpus.inFamilyEdges(s, dir), Corpus.variantOfEdges(s, dir),
+        Corpus.bundleWithEdges(s, dir, canon),
+        Corpus.regulatesEdges(s, dir), Corpus.prefersEdges(s, dir),
+        Corpus.boughtFromEdges(s, dir),
+        Corpus.representativeOrderEdges(s, dir),
+        Corpus.chargedWithEdges(s, dir), Corpus.dominantLangEdges(s, dir),
+        Corpus.handlesEdges(s, dir))
         .map(_.select(col("relation_label").as("label"),
           concat(col("subject_id"), lit(">"), col("object_id")).as("k")))
       (nodeFams ++ edgeFams).reduce(_ unionByName _)
@@ -406,7 +414,9 @@ object RelationalQueries {
         |UNION ALL SELECT 'segment', CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer
         |UNION ALL SELECT 'document', CAST(count(*) AS BIGINT) FROM documents
         |UNION ALL SELECT 'order', CAST(count(*) AS BIGINT) FROM orders
-        |UNION ALL SELECT 'ptype', CAST(count(DISTINCT p_type) AS BIGINT) FROM part
+        |UNION ALL SELECT 'ptype',
+        |  CAST(count(DISTINCT p_type)
+        |       + count(DISTINCT string_split(p_name, ' ')[2]) AS BIGINT) FROM part
         |UNION ALL SELECT 'user', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
         |UNION ALL SELECT 'event_type', CAST(count(DISTINCT event_type) AS BIGINT) FROM events
         |UNION ALL SELECT 'language', CAST(count(DISTINCT lang) AS BIGINT) FROM documents
@@ -474,7 +484,43 @@ object RelationalQueries {
         |UNION ALL SELECT 'closest_to', CAST(count(*) AS BIGINT)
         |  FROM (SELECT CAST(replace(min('PARTRAW:' || p_partkey), 'PARTRAW:', '') AS BIGINT) minkey
         |        FROM part GROUP BY p_name) mk
-        |  JOIN embeddings e ON e.vec_id = mk.minkey""".stripMargin
+        |  JOIN embeddings e ON e.vec_id = mk.minkey
+        |UNION ALL SELECT 'in_family', CAST(count(DISTINCT p_name) AS BIGINT) FROM part
+        |UNION ALL SELECT 'variant_of',
+        |  CAST(count(DISTINCT p_name)
+        |       - count(DISTINCT string_split(p_name, ' ')[2]) AS BIGINT) FROM part
+        |UNION ALL SELECT 'bundle_with', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT a.pid, b.pid p2
+        |        FROM (SELECT DISTINCT l.l_orderkey ok, pc.pid
+        |              FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey) a
+        |        JOIN (SELECT DISTINCT l.l_orderkey ok, pc.pid
+        |              FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey) b
+        |          ON a.ok = b.ok AND a.pid < b.pid
+        |        GROUP BY 1, 2 HAVING count(*) >= 2)
+        |UNION ALL SELECT 'regulates', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT prev, event_type FROM (
+        |          SELECT event_type, lag(event_type) OVER (
+        |            PARTITION BY user_id ORDER BY ts, event_id) prev
+        |          FROM events)
+        |        WHERE prev IS NOT NULL)
+        |UNION ALL SELECT 'prefers', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT user_id, event_type, count(*) n,
+        |               sum(count(*)) OVER (PARTITION BY user_id) tot
+        |        FROM events GROUP BY 1, 2)
+        |  WHERE n >= 2 AND floor((n*1000) / tot) >= 250
+        |UNION ALL SELECT 'bought_from', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT o.o_custkey, l.l_suppkey
+        |        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+        |UNION ALL SELECT 'representative_order',
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'charged_with', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT l.l_orderkey, p.p_type
+        |        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+        |UNION ALL SELECT 'dominant_lang',
+        |  CAST(count(DISTINCT source) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'handles', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT l.l_suppkey, p.p_type
+        |        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)""".stripMargin
       .replace("__SIMHASH_RAW__",
         graft.queries.TextQueries.simhashSqlOver(
           "SELECT doc_id, text FROM documents")),

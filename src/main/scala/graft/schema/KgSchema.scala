@@ -125,7 +125,7 @@ object KgSchema {
       Map("n_returns" -> PInt, "qty_milli" -> PInt)),
     "ships_to" -> EdgeType("ships_to", "supplier", "nation",
       Map("n_orders" -> PInt)),
-    // Breadth block 4 — 30 edge families total.
+    // Breadth block 4 — 30 edge families at this point.
     "similar_to" -> EdgeType("similar_to", "document", "document",
       Map("hamming" -> PInt)),
     "followed_by" -> EdgeType("followed_by", "event_type", "event_type",
@@ -134,7 +134,28 @@ object KgSchema {
       Map.empty),
     "best_supplied_by" -> EdgeType("best_supplied_by", "product", "supplier",
       Map("qty_milli" -> PInt)),
-    "closest_to" -> EdgeType("closest_to", "product", "product", Map.empty))
+    "closest_to" -> EdgeType("closest_to", "product", "product", Map.empty),
+    // Breadth block 5 — 40 edge families total (reference parity:
+    // schema_config.yaml:206-606 declares 40 association types).
+    "in_family" -> EdgeType("in_family", "product", "ptype", Map.empty),
+    "variant_of" -> EdgeType("variant_of", "product", "product",
+      Map("family" -> PStr)),
+    "bundle_with" -> EdgeType("bundle_with", "product", "product",
+      Map("n_common" -> PInt, "lift_milli" -> PInt)),
+    "regulates" -> EdgeType("regulates", "event_type", "event_type",
+      Map("mode" -> PStr, "lift_milli" -> PInt)),
+    "prefers" -> EdgeType("prefers", "user", "event_type",
+      Map("n_events" -> PInt, "share_milli" -> PInt)),
+    "bought_from" -> EdgeType("bought_from", "customer", "supplier",
+      Map("n_orders" -> PInt, "days_span" -> PInt)),
+    "representative_order" -> EdgeType("representative_order", "customer", "order",
+      Map("totalprice_milli" -> PInt)),
+    "charged_with" -> EdgeType("charged_with", "order", "ptype",
+      Map("n_items" -> PInt, "revenue_milli" -> PInt)),
+    "dominant_lang" -> EdgeType("dominant_lang", "source", "language",
+      Map("n_docs" -> PInt, "share_milli" -> PInt)),
+    "handles" -> EdgeType("handles", "supplier", "ptype",
+      Map("n_parts" -> PInt, "brands" -> PStr)))
 
   /** The scalar-prop keys a label may carry in its `props` map. */
   private def scalarKeys(label: String): Seq[String] =

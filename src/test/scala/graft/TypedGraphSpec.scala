@@ -143,6 +143,53 @@ class TypedGraphSpec extends AnyFunSuite {
       "best_supplied_by", "closest_to"))
   }
 
+  test("breadth block 5: the ten parity edge families pass endpoint-prefix conformance") {
+    val sf = TestSpark.sf0001
+    val canonT = Corpus.canonicalIds(spark, sf)
+    val edges = Seq(
+      Corpus.inFamilyEdges(spark, sf),
+      Corpus.variantOfEdges(spark, sf),
+      Corpus.bundleWithEdges(spark, sf, canonT),
+      Corpus.regulatesEdges(spark, sf),
+      Corpus.prefersEdges(spark, sf),
+      Corpus.boughtFromEdges(spark, sf),
+      Corpus.representativeOrderEdges(spark, sf),
+      Corpus.chargedWithEdges(spark, sf),
+      Corpus.dominantLangEdges(spark, sf),
+      Corpus.handlesEdges(spark, sf))
+      .map(_.select("subject_id", "relation_label", "object_id"))
+      .reduce(_ unionByName _)
+    assert(KgSchema.edgeViolations(edges).isEmpty)
+    // all ten populated at fixture scale; schema = full 40-type parity
+    val present = edges.select("relation_label").distinct()
+      .as[String].collect().toSet
+    assert(present == Set("in_family", "variant_of", "bundle_with",
+      "regulates", "prefers", "bought_from", "representative_order",
+      "charged_with", "dominant_lang", "handles"))
+    assert(KgSchema.edgeTypes.size == 40)
+    // in_family objects resolve against the extended ptype vocabulary
+    // (the fam_* nodes ride ptypeNodes)
+    val ptypes = Corpus.ptypeNodes(spark, sf).select(col("id"))
+    val dangling = Corpus.inFamilyEdges(spark, sf)
+      .join(ptypes, col("object_id") === col("id"), "left_anti")
+    assert(dangling.isEmpty)
+    // the handles evidence-set cap ENGAGES at fixture scale: no group
+    // carries more than HandlesBrandCap brands, and at least one group
+    // in the raw data exceeds the cap (so the bound is doing work)
+    val maxBrands = Corpus.handlesEdges(spark, sf)
+      .select(size(split(col("brands"), "\\|")).as("nb"))
+      .agg(max(col("nb"))).as[Int].head()
+    assert(maxBrands <= Corpus.HandlesBrandCap)
+    val rawMax = Corpus.table(spark, sf, "lineitem")
+      .join(Corpus.table(spark, sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("p_type"))
+      .agg(countDistinct(col("p_brand")).as("nb"))
+      .agg(max(col("nb"))).as[Long].head()
+    assert(rawMax > Corpus.HandlesBrandCap,
+      s"fixture never exceeds the cap (max distinct brands = $rawMax)")
+  }
+
   test("taxon-checked canonicalization maps a symbol only under its organism") {
     // symbol CDC42 exists for human (9606) and yeast (4932) with different
     // canonical targets (the ppi_adapter.py:478-509 guard).
