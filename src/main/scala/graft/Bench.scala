@@ -67,7 +67,25 @@ object Bench {
         "peer_of" -> (() => Corpus.peerOfEdges(spark, sfDir)),
         "next_order" -> (() => Corpus.nextOrderEdges(spark, sfDir)),
         "returned" -> (() => Corpus.returnedEdges(spark, sfDir, canon)),
-        "ships_to" -> (() => Corpus.shipsToEdges(spark, sfDir)))
+        "ships_to" -> (() => Corpus.shipsToEdges(spark, sfDir)),
+        // breadth block 4
+        "similar_to" -> (() => Corpus.similarToEdges(spark, sfDir)),
+        "followed_by" -> (() => Corpus.followedByEdges(spark, sfDir)),
+        "located_in_region" -> (() => Corpus.locatedInRegionEdges(spark, sfDir)),
+        "best_supplied_by" -> (() => Corpus.bestSupplierEdges(spark, sfDir, canon)),
+        "closest_to" -> (() => Corpus.closestPartEdges(spark, sfDir)),
+        // breadth block 5
+        "in_family" -> (() => Corpus.inFamilyEdges(spark, sfDir)),
+        "variant_of" -> (() => Corpus.variantOfEdges(spark, sfDir)),
+        "bundle_with" -> (() => Corpus.bundleWithEdges(spark, sfDir, canon)),
+        "regulates" -> (() => Corpus.regulatesEdges(spark, sfDir)),
+        "prefers" -> (() => Corpus.prefersEdges(spark, sfDir)),
+        "bought_from" -> (() => Corpus.boughtFromEdges(spark, sfDir)),
+        "representative_order" ->
+          (() => Corpus.representativeOrderEdges(spark, sfDir)),
+        "charged_with" -> (() => Corpus.chargedWithEdges(spark, sfDir)),
+        "dominant_lang" -> (() => Corpus.dominantLangEdges(spark, sfDir)),
+        "handles" -> (() => Corpus.handlesEdges(spark, sfDir)))
       val timed = fams.map { case (name, f) =>
         val t0 = System.nanoTime()
         val n = f().count()

@@ -54,12 +54,15 @@ object PairDedup {
     * modeling as ngramJaccardPairs. Pairs then explode MAP-SIDE from
     * each posting — no self-join. */
   def coOccurrencePairs(df: DataFrame, itemCol: String, keyCol: String,
-                        maxDf: Long): DataFrame = {
+                        maxDf: Long, preDistinct: Boolean = false): DataFrame = {
     require(maxDf > 0 && maxDf <= Int.MaxValue - 1, s"maxDf out of range: $maxDf")
     val capAgg = graft.functions.BoundedAggs.cappedLongList(maxDf.toInt)
-    val post = df
-      .select(col(itemCol).as("item"), col(keyCol).cast("long").as("k"))
-      .distinct()
+    val proj = df.select(col(itemCol).as("item"), col(keyCol).cast("long").as("k"))
+    // preDistinct: the caller guarantees (item, key) rows are already
+    // unique (e.g. it distinct-ed and persisted the projection to also
+    // derive dfs/totals from the SAME universe) — skip the second
+    // full dedup shuffle.
+    val post = (if (preDistinct) proj else proj.distinct())
       .groupBy("item").agg(capAgg(col("k")).as("pl"))
       .filter(col("pl.total") >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -907,20 +907,24 @@ object Corpus {
         regexp_replace(col("canonical_id"), "^PART:", "").cast("long").as("pid"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nOrders = op.select(col("ok")).distinct().count()
+    // Lazy broadcast scalars (no extra driver-side action): the order
+    // total and per-part dfs ride the same persisted universe the
+    // pairs are built from and join back as broadcasts.
+    val nOrdersDf = op.agg(countDistinct(col("ok")).as("nn"))
     val dfs = op.groupBy(col("pid")).agg(count(lit(1)).as("df"))
     val pairs = graft.dedup.PairDedup
-      .coOccurrencePairs(op, "ok", "pid", CoOccurrenceMaxDf)
+      .coOccurrencePairs(op, "ok", "pid", CoOccurrenceMaxDf, preDistinct = true)
       .filter(col("n_common") >= 2)
     val out = pairs
       .join(broadcast(dfs.select(col("pid").as("k1"), col("df").as("df1"))), Seq("k1"))
       .join(broadcast(dfs.select(col("pid").as("k2"), col("df").as("df2"))), Seq("k2"))
+      .crossJoin(broadcast(nOrdersDf))
       .select(
         concat(lit("PART:"), col("k1")).as("subject_id"),
         lit("bundle_with").as("relation_label"),
         concat(lit("PART:"), col("k2")).as("object_id"),
         col("n_common"),
-        floor((col("n_common") * lit(1000L) * lit(nOrders)) /
+        floor((col("n_common") * lit(1000L) * col("nn")) /
           (col("df1") * col("df2"))).cast("long").as("lift_milli"))
       .localCheckpoint(true)
     op.unpersist(false)
