@@ -229,4 +229,24 @@ class MergeDedupAggSpec extends AnyFunSuite {
       .select("c").as[String].head()
     assert(r2 == "1|2")
   }
+
+  test("coOccurrencePairs preDistinct=true == default on an already-unique universe") {
+    // (item, key) pairs with duplicates; bundle_with-style callers
+    // distinct-and-persist the projection themselves (to derive dfs
+    // and totals from the SAME universe) and pass preDistinct=true —
+    // the pair sets must be identical, including under the hot-item cap.
+    val raw = Seq(
+      (10L, 1L), (10L, 2L), (10L, 2L), (10L, 3L),
+      (20L, 2L), (20L, 3L), (20L, 3L),
+      (30L, 1L), (30L, 2L), (30L, 3L), (30L, 4L), // hot item at maxDf=3
+      (40L, 4L), (40L, 1L)).toDF("item", "k")
+    val uniq = raw.distinct()
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k1", "k2", "n_common")
+        .as[(Long, Long, Long)].collect().toSet
+    val a = norm(PairDedup.coOccurrencePairs(raw, "item", "k", maxDf = 3))
+    val b = norm(PairDedup.coOccurrencePairs(uniq, "item", "k", maxDf = 3,
+      preDistinct = true))
+    assert(a.nonEmpty && a == b)
+  }
 }
