@@ -205,6 +205,84 @@ object GraphStore {
     else Some(spark.read.parquet(snapDir(base, stage, n).resolve("data").toString))
   }
 
+  /** All committed snapshot ids of a stage, ascending (the Iceberg
+    * `snapshots` metadata-table surface). Manifest-less corpses are
+    * invisible here exactly as they are to reads. */
+  def snapshots(base: String, stage: String): Seq[Long] = {
+    val d = stageDir(base, stage)
+    if (!Files.isDirectory(d)) return Nil
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("snapshot="))
+      .filter(p => Files.exists(p.resolve("manifest.json")))
+      .map(_.getFileName.toString.stripPrefix("snapshot=").toLong)
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  /** Time-travel read (Iceberg `VERSION AS OF`): the data of a SPECIFIC
+    * committed snapshot, or None if that id was never committed (or was
+    * expired). */
+  def readSnapshot(spark: SparkSession, base: String, stage: String,
+                   n: Long): Option[DataFrame] = {
+    val dir = snapDir(base, stage, n)
+    if (!Files.exists(dir.resolve("manifest.json"))) None
+    else Some(spark.read.parquet(dir.resolve("data").toString))
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq.foreach(deleteRecursively)
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  /** Retention (Iceberg `expire_snapshots`): delete all but the newest
+    * `keepLast` committed snapshots, plus any manifest-less corpses
+    * older than the kept window (a corpse NEWER than the kept window is
+    * left alone — it may be an in-flight commit). The latest snapshot
+    * is never expired (keepLast is clamped to >= 1). Returns the
+    * expired committed ids. Single-writer store: callers must not
+    * expire while another process reads the same stage. */
+  def expireSnapshots(base: String, stage: String, keepLast: Int): Seq[Long] = {
+    val committed = snapshots(base, stage)
+    if (committed.isEmpty) return Nil
+    val keep = committed.takeRight(math.max(1, keepLast)).toSet
+    val cutoff = keep.min
+    val d = stageDir(base, stage)
+    val s = Files.list(d)
+    val all =
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("snapshot="))
+        .map(_.getFileName.toString.stripPrefix("snapshot=").toLong)
+        .toSeq
+      finally s.close()
+    val doomed = all.filter(n => n < cutoff && !keep.contains(n)).sorted
+    doomed.foreach(n => deleteRecursively(snapDir(base, stage, n)))
+    doomed.filter(committed.contains)
+  }
+
+  /** Rollback (Iceberg `rollback_to_snapshot`): drop every snapshot —
+    * committed or corpse — NEWER than `n`, restoring `n` as the
+    * stage's latest. Resume semantics follow: a getOrCompute whose
+    * inputFp matches the rolled-back manifest resumes that data;
+    * anything else recomputes forward from it. */
+  def rollbackTo(base: String, stage: String, n: Long): Unit = {
+    require(Files.exists(snapDir(base, stage, n).resolve("manifest.json")),
+      s"rollback target stage=$stage snapshot=$n is not committed")
+    val d = stageDir(base, stage)
+    val s = Files.list(d)
+    val newer =
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("snapshot="))
+        .map(_.getFileName.toString.stripPrefix("snapshot=").toLong)
+        .filter(_ > n).toSeq
+      finally s.close()
+    newer.foreach(m => deleteRecursively(snapDir(base, stage, m)))
+  }
+
   def readLineage(spark: SparkSession, base: String, stage: String): Option[DataFrame] = {
     val n = latestSnapshot(base, stage)
     if (n < 0) None

@@ -48,6 +48,47 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(got.as[(Long, String)].collect().toSet == Set((1L, "a")))
   }
 
+  test("store: time-travel reads, retention expiry, rollback") {
+    val base = Files.createTempDirectory("gs_tt_").toString
+    // three committed versions of the table
+    (0 to 2).foreach(i =>
+      GraphStore.commit(spark, base, "t", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    assert(GraphStore.snapshots(base, "t") == Seq(0L, 1L, 2L))
+    // time-travel: each committed version readable by id
+    (0 to 2).foreach { i =>
+      val r = GraphStore.readSnapshot(spark, base, "t", i).get
+        .as[(Long, String)].head()
+      assert(r == ((i.toLong, s"v$i")))
+    }
+    assert(GraphStore.readSnapshot(spark, base, "t", 99).isEmpty)
+    // a manifest-less corpse below the retention window is swept too
+    val corpse = Paths.get(base, "stage=t", "snapshot=1", "manifest.json")
+    Files.delete(corpse)
+    // committed is now [0, 2] (1 is a corpse): keepLast=2 keeps both
+    assert(GraphStore.expireSnapshots(base, "t", keepLast = 2).isEmpty)
+    assert(GraphStore.snapshots(base, "t") == Seq(0L, 2L))
+    // keepLast=1: snapshot 0 expires, the corpse at 1 is swept with it
+    val expired = GraphStore.expireSnapshots(base, "t", keepLast = 1)
+    assert(expired == Seq(0L))
+    assert(GraphStore.snapshots(base, "t") == Seq(2L))
+    assert(!Files.exists(Paths.get(base, "stage=t", "snapshot=1")))
+    assert(GraphStore.readSnapshot(spark, base, "t", 0).isEmpty)
+    // latest never expires, even with keepLast = 0
+    assert(GraphStore.expireSnapshots(base, "t", keepLast = 0).isEmpty)
+    assert(GraphStore.readLatest(spark, base, "t").get
+      .as[(Long, String)].head() == ((2L, "v2")))
+    // rollback: drop newer snapshots, restoring an older committed one
+    GraphStore.commit(spark, base, "t", Seq((3L, "v3")).toDF("id", "v"))
+    assert(GraphStore.latestSnapshot(base, "t") == 3)
+    GraphStore.rollbackTo(base, "t", 2)
+    assert(GraphStore.latestSnapshot(base, "t") == 2)
+    assert(GraphStore.readLatest(spark, base, "t").get
+      .as[(Long, String)].head() == ((2L, "v2")))
+    intercept[IllegalArgumentException] {
+      GraphStore.rollbackTo(base, "t", 99)
+    }
+  }
+
   test("store: getOrCompute computes once then resumes") {
     val base = Files.createTempDirectory("gs_").toString
     var computes = 0
