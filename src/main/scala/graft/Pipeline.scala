@@ -71,8 +71,13 @@ object Pipeline {
       shufRead.get, input.get, records.get)
   }
 
+  /** Stage names the pipeline commits — the retention sweep below and
+    * external tooling share this list. */
+  val Stages: Seq[String] = Seq("canonical_ids", "extracted", "mentions",
+    "pagesets", "triples", "nodes", "edges")
+
   def run(spark: SparkSession, sfDir: String, storeBase: String,
-          partitions: Int, mult: Int = 1): Result = {
+          partitions: Int, mult: Int = 1, retainSnapshots: Int = 2): Result = {
     val t0 = System.nanoTime()
     var tLast = t0
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -347,6 +352,15 @@ object Pipeline {
     val nTriples = edges.count()
     val nNodes = nodes.count()
     GraphStore.awaitPending()
+    // Retention sweep (Iceberg expire_snapshots): re-runs with changed
+    // fingerprints accumulate superseded snapshots; keep the newest
+    // `retainSnapshots` per stage (latest always survives — resume
+    // semantics untouched) so the store's footprint stays bounded
+    // across the job's lifetime. Runs AFTER awaitPending: every
+    // in-flight commit has landed, so nothing newer-than-latest is a
+    // legitimate in-flight write.
+    if (retainSnapshots > 0)
+      Stages.foreach(GraphStore.expireSnapshots(storeBase, _, retainSnapshots))
     mark("finalize")
     spark.sparkContext.removeSparkListener(counters)
     val secs = (System.nanoTime() - t0) / 1e9

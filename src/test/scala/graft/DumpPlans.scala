@@ -25,7 +25,11 @@ object DumpPlans {
       "q_supply_edges", "q_merge_dti", "q_go_labels", "q_typed_edges",
       "q_top1_per_group", "q_shares_part", "q_co_purchased",
       "q_similar_to", "q_best_supplier", "q_closest_part",
-      "q_followed_by", "q_ngram_jaccard")
+      "q_followed_by", "q_ngram_jaccard",
+      // breadth block 5
+      "q_in_family", "q_variant_of", "q_bundle_with", "q_regulates",
+      "q_prefers", "q_bought_from", "q_repr_order", "q_charged_with",
+      "q_dominant_lang", "q_handles")
     val sb = new StringBuilder
     names.foreach { n =>
       sb.append(s"===== $n =====\n")

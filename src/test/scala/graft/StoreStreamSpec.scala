@@ -111,6 +111,12 @@ class StoreStreamSpec extends AnyFunSuite {
     // resume: second run over the same store reads committed snapshots
     val r2 = Pipeline.run(spark, TestSpark.sf0001, base, partitions = 8)
     assert(r2.nTriples == r1.nTriples && r2.nNodes == r1.nNodes)
+    // retention: the per-stage snapshot count stays bounded across runs
+    Pipeline.Stages.foreach { st =>
+      val snaps = GraphStore.snapshots(base, st)
+      assert(snaps.nonEmpty && snaps.size <= 2,
+        s"stage $st snapshots: $snaps")
+    }
   }
 
   test("store census == q_graph_census: every censused family persists at full cardinality") {
