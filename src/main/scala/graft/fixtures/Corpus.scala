@@ -945,17 +945,19 @@ object Corpus {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowM = t.groupBy(col("src")).agg(sum(col("n")).as("r"))
     val colM = t.groupBy(col("dst")).agg(sum(col("n")).as("c"))
-    val total = t.agg(sum(col("n"))).first().getLong(0)
+    // Lazy broadcast scalar (no driver-side action), as in bundle_with.
+    val totalDf = t.agg(sum(col("n")).as("tt"))
     val out = t
       .join(broadcast(rowM), Seq("src"))
       .join(broadcast(colM), Seq("dst"))
+      .crossJoin(broadcast(totalDf))
       .select(
         col("src").as("subject_id"),
         lit("regulates").as("relation_label"),
         col("dst").as("object_id"),
-        when((col("n") * lit(total)) >= (col("r") * col("c")), lit("amplifies"))
+        when((col("n") * col("tt")) >= (col("r") * col("c")), lit("amplifies"))
           .otherwise(lit("dampens")).as("mode"),
-        floor((col("n") * lit(1000L) * lit(total)) / (col("r") * col("c")))
+        floor((col("n") * lit(1000L) * col("tt")) / (col("r") * col("c")))
           .cast("long").as("lift_milli"))
       .localCheckpoint(true)
     t.unpersist(false)

@@ -7,6 +7,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** A (doc_id, text_hash) pair flowing through the streaming dedup. */
 final case class HashedDoc(doc_id: Long, text_hash: Long)
 
+/** A document's banded LSH row: one per (band, bucket) of its MinHash
+  * signature, carrying the shingle-code set for exact verification. */
+final case class BandDoc(band: Int, bucket: String, doc_id: Long,
+                         shc: Array[Long])
+
+/** Bounded per-bucket LSH state: the docs (ids + shingle-code sets)
+  * kept in one (band, bucket) cell across micro-batches. */
+final case class BucketDocs(ids: Array[Long], shcs: Array[Array[Long]])
+
+/** A verified near-duplicate pair (same shape as the batch
+  * DedupOps.minhashNearDupPairs output). */
+final case class DupPair(id1: Long, id2: Long, common: Int,
+                         size1: Int, size2: Int)
+
 /** A raw page flowing into the streaming KG front-end. */
 final case class RawPage(url: String, html: Array[Byte])
 
@@ -104,6 +118,78 @@ object StreamOps {
           inputFp = s"stream;stage=triples;batch=$batchId")
         ()
       }
+
+  /** Streaming NEAR-duplicate detection over a continuously-arriving
+    * corpus: the streaming counterpart of
+    * [[graft.textops.DedupOps.minhashNearDupPairs]], same signatures
+    * (native MinHash kernels — per-row expressions, so they run
+    * unchanged on a streaming Dataset), same (k, r) banding, same
+    * EXACT shingle-set verification with the identical
+    * `common * (1+tau) >= tau * (size1+size2)` arithmetic.
+    *
+    * State (flatMapGroupsWithState keyed by (band, bucket)): up to
+    * `maxBucket` (doc_id, shingle-code-set) members per LSH cell —
+    * bounded regardless of stream length, the streaming analogue of
+    * the batch per-bucket cap. A doc arriving at a full cell is
+    * verified against the kept members but not added (documented
+    * recall loss at the cap, exactly like the batch cap's dropped
+    * hot-bucket tail). A pair sharing multiple bands/batches is
+    * emitted once per sharing cell — the exact pair set is the
+    * read-side `distinct`, the same append-only contract as the
+    * streamed triple table. Spec: streamed distinct pairs == batch
+    * pairs on a corpus split ACROSS micro-batches
+    * (StoreStreamSpec). */
+  def nearDupStream(docs: Dataset[(Long, String)], n: Int = 3, k: Int = 64,
+                    r: Int = 2, tau: Double = 0.5,
+                    maxBucket: Int = 64): Dataset[DupPair] = {
+    import docs.sparkSession.implicits._
+    val sig = graft.textops.DedupOps.minhashSignatures(
+      docs.toDF("doc_id", "text"), "doc_id", "text", n, k)
+    val nBands = k / r
+    val bands = sig.select(
+        posexplode(array((0 until nBands).map { b =>
+          concat_ws(",", (0 until r).map(j =>
+            element_at(col("sig"), b * r + j + 1).cast("string")): _*)
+        }: _*)).as(Seq("band", "bucket")),
+        col("doc_id"), col("shc"))
+      .select(col("band"), col("bucket"), col("doc_id"), col("shc"))
+      .as[BandDoc]
+    bands.groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketDocs, DupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), rows: Iterator[BandDoc], state: GroupState[BucketDocs]) =>
+          val kept = state.getOption.getOrElse(
+            BucketDocs(Array.empty, Array.empty))
+          var ids = kept.ids
+          var shcs = kept.shcs
+          val out = scala.collection.mutable.ArrayBuffer.empty[DupPair]
+          // deterministic intra-batch order; replayed/duplicate doc ids
+          // are no-ops against the kept membership
+          rows.toArray.sortBy(_.doc_id).foreach { d =>
+            if (!ids.contains(d.doc_id)) {
+              val set2 = d.shc.toSet
+              var i = 0
+              while (i < ids.length) {
+                val common = shcs(i).count(set2.contains)
+                val s1 = shcs(i).length
+                val s2 = d.shc.length
+                if (common * (1.0 + tau) >= tau * (s1 + s2)) {
+                  out += (if (ids(i) < d.doc_id)
+                    DupPair(ids(i), d.doc_id, common, s1, s2)
+                  else DupPair(d.doc_id, ids(i), common, s2, s1))
+                }
+                i += 1
+              }
+              if (ids.length < maxBucket) {
+                ids = ids :+ d.doc_id
+                shcs = shcs :+ d.shc
+              }
+            }
+          }
+          state.update(BucketDocs(ids, shcs))
+          out.iterator
+      }
+  }
 
   /** Streaming exact-dedup with CUSTOM STATE (flatMapGroupsWithState —
     * SURVEY §2.11's KeyValueGroupedDataset surface): the first document

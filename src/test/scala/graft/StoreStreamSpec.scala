@@ -196,6 +196,37 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(out == Set(HashedDoc(1L, 10L), HashedDoc(2L, 20L), HashedDoc(7L, 30L)))
   }
 
+  test("streaming near-dup (stateful MinHash LSH) equals batch pairs, detected ACROSS micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DupPair
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.fixtures.Corpus.table(spark, TestSpark.sf0001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val batchPairs = graft.textops.DedupOps
+      .minhashNearDupPairs(spark.createDataset(docs).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    assert(batchPairs.nonEmpty)
+    // split so a known near-dup pair STRADDLES the batch boundary:
+    // everything except one member of the first batch pair, then it
+    val (wit1, wit2) = { val p = batchPairs.minBy(_._1); (p._1, p._2) }
+    val b1 = docs.filterNot(_._1 == wit2)
+    val b2 = docs.filter(_._1 == wit2)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupStream(in.toDS()).writeStream
+      .format("memory").queryName("neardup_out").outputMode("append").start()
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    val streamed = spark.table("neardup_out").distinct()
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    q.stop()
+    // exact pair set equality (ids, common, sizes) after read-side
+    // distinct — including the pair whose members arrived in
+    // DIFFERENT micro-batches (cross-batch state detection)
+    assert(streamed == batchPairs)
+    assert(streamed.exists(p => p._1 == wit1 && p._2 == wit2))
+  }
+
   test("streaming KG front-end (extract + trie linking) matches the batch path across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.RawPage
