@@ -69,17 +69,47 @@ object FloatDotRewrite extends Rule[LogicalPlan] {
     }
 }
 
+/** Catalyst optimizer rule: rewrite `size(array_intersect(a, b))` over
+  * two array<bigint> columns into the native
+  * [[graft.functions.TextHashExprs.IntersectCountLong]] kernel — the
+  * exact-Jaccard verification loop of the dedup family. The built-in
+  * form materializes the intersection ArrayData per row just to take
+  * its length; the kernel counts via one sort + binary searches with
+  * zero allocation of the result array, with identical semantics for
+  * null arrays, null elements (present-in-both counts once) and
+  * duplicates (ArrayIntersect dedups). Only the non-legacy `size`
+  * (size(NULL) = NULL) matches the kernel's null contract, so the
+  * legacy form is left alone. */
+object IntersectCountRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.types.LongType
+
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Size(ai: ArrayIntersect, false)
+          if isLongArray(ai.left) && isLongArray(ai.right) =>
+        graft.functions.TextHashExprs.IntersectCountLong(ai.left, ai.right)
+    }
+}
+
 /** Session extension wiring (config `spark.sql.extensions` =
-  * `graft.ext.GraftExtensions`): injects the optimizer rule and the
-  * `float_dot` / `srp_sig` SQL functions. [[GraftExtensions.install]]
-  * does the same for an ALREADY-RUNNING session through the public
-  * `experimental.extraOptimizations` hook (optimizer rules only —
-  * function registration needs session construction time). */
+  * `graft.ext.GraftExtensions`): injects the optimizer rules and the
+  * `float_dot` / `srp_sig` / `intersect_count` SQL functions.
+  * [[GraftExtensions.install]] does the same for an ALREADY-RUNNING
+  * session through the public `experimental.extraOptimizations` hook
+  * (optimizer rules only — function registration needs session
+  * construction time). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FloatDotRewrite)
+    ext.injectOptimizerRule(_ => IntersectCountRewrite)
     ext.injectFunction(GraftExtensions.floatDotFn)
     ext.injectFunction(GraftExtensions.srpSigFn)
+    ext.injectFunction(GraftExtensions.intersectCountFn)
   }
 }
 
@@ -117,14 +147,29 @@ object GraftExtensions {
         graft.functions.VectorExprs.SrpSig(args(0), np, tbl)
       })
 
-  /** Attach the rewrite rule to a live session (idempotent). */
+  val intersectCountFn: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("intersect_count"),
+      new ExpressionInfo("graft.functions.TextHashExprs", null,
+        "intersect_count",
+        "intersect_count(a, b) - |array_intersect(a, b)| for array<bigint> without materializing it",
+        ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "intersect_count takes (array<bigint>, array<bigint>)")
+        graft.functions.TextHashExprs.IntersectCountLong(args(0), args(1))
+      })
+
+  private val rules = Seq(FloatDotRewrite, IntersectCountRewrite)
+
+  /** Attach the rewrite rules to a live session (idempotent). */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(FloatDotRewrite))
-      spark.experimental.extraOptimizations = cur :+ FloatDotRewrite
+    spark.experimental.extraOptimizations =
+      cur ++ rules.filterNot(cur.contains)
   }
 
   def uninstall(spark: SparkSession): Unit =
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == FloatDotRewrite)
+      spark.experimental.extraOptimizations.filterNot(rules.contains)
 }

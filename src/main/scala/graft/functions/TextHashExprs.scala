@@ -155,6 +155,49 @@ object TextHashExprs {
     sig
   }
 
+  /** |array_intersect(a, b)| for two long arrays WITHOUT materializing
+    * the intersection: sort b's non-null values once, then count each
+    * FIRST occurrence of a distinct a-element found by binary search —
+    * O((m+n) log n), zero boxing, no hash map, no output array. Null
+    * elements follow ArrayIntersect exactly: a null in both sides
+    * contributes one. Matches `size(array_intersect(a, b))`
+    * bit-for-bit (TextHashSpec), which is the exact-verification hot
+    * loop of every shingle-Jaccard path. */
+  def intersectCountLong(a: ArrayData, b: ArrayData): Int = {
+    val nb = b.numElements()
+    var bHasNull = false
+    val bv = new Array[Long](nb)
+    var m = 0
+    var i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) bHasNull = true
+      else { bv(m) = b.getLong(i); m += 1 }
+      i += 1
+    }
+    val bs = if (m == nb) bv else java.util.Arrays.copyOf(bv, m)
+    java.util.Arrays.sort(bs, 0, m)
+    val na = a.numElements()
+    var aHasNull = false
+    val av = new Array[Long](na)
+    var k = 0
+    i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) aHasNull = true
+      else { av(k) = a.getLong(i); k += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(av, 0, k)
+    var cnt = 0
+    i = 0
+    while (i < k) {
+      if ((i == 0 || av(i) != av(i - 1)) &&
+          java.util.Arrays.binarySearch(bs, 0, m, av(i)) >= 0) cnt += 1
+      i += 1
+    }
+    if (aHasNull && bHasNull) cnt += 1
+    cnt
+  }
+
   // ---------------- expressions -------------------------------------
 
   private val HELPER = "graft.functions.TextHashExprs"
@@ -244,7 +287,29 @@ object TextHashExprs {
       copy(child = newChild)
   }
 
+  case class IntersectCountLong(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (longArrayCheck(left, prettyName), longArrayCheck(right, prettyName)) match {
+        case (TypeCheckResult.TypeCheckSuccess, r) => r
+        case (l, _) => l
+      }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "intersect_count"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      intersectCountLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = $HELPER.intersectCountLong($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ---------------- column wrappers ---------------------------------
+
+  def intersectCountCol(a: Column, b: Column): Column =
+    shim.column(IntersectCountLong(shim.expression(a), shim.expression(b)))
 
   def tokenCodesCol(tokens: Column, m: Long): Column =
     shim.column(TokenCodes(shim.expression(tokens), m))

@@ -197,7 +197,8 @@ object DedupOps {
     val verified = cand
       .join(sets.select(col("doc_id").as("id1"), col("shc").as("shc1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("shc").as("shc2")), "id2")
-      .withColumn("common", size(array_intersect(col("shc1"), col("shc2"))))
+      .withColumn("common", graft.functions.TextHashExprs
+        .intersectCountCol(col("shc1"), col("shc2")))
       .withColumn("size1", size(col("shc1")))
       .withColumn("size2", size(col("shc2")))
       .filter(col("common") * (1.0 + tau) >= lit(tau) * (col("size1") + col("size2")))

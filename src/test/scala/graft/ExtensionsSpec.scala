@@ -68,9 +68,67 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally GraftExtensions.uninstall(spark)
   }
 
+  test("IntersectCountRewrite: size(array_intersect) over long arrays -> native kernel; skips string arrays") {
+    import graft.textops.DedupOps
+    val sets = DedupOps.shingleCodes(
+      graft.fixtures.Corpus.table(spark, TestSpark.sf0001, "documents")
+        .select("doc_id", "text"), "doc_id", "text", 3)
+    val pairs = sets.select(col("doc_id"), col("shc").as("a"))
+      .crossJoin(sets.select(col("shc").as("b")).limit(1))
+    val plain = pairs.select(col("doc_id"),
+      size(array_intersect(col("a"), col("b"))).as("c"))
+    assert(!plain.queryExecution.optimizedPlan.toString.contains("intersect_count"))
+    GraftExtensions.install(spark)
+    try {
+      val rewritten = pairs.select(col("doc_id"),
+        size(array_intersect(col("a"), col("b"))).as("c"))
+      val plan = rewritten.queryExecution.optimizedPlan.toString
+      assert(plan.contains("intersect_count"), s"expected rewrite, plan:\n$plan")
+      // identical counts to the built-in evaluation
+      val want = plain.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+      val got = rewritten.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(want.nonEmpty && want.exists(_._2 > 0))
+      assert(want.toSeq == got.toSeq)
+      // string arrays are NOT rewritten (kernel is long-specialized)
+      val strs = Seq((Seq("a", "b"), Seq("b", "c"))).toDF("x", "y")
+        .select(size(array_intersect(col("x"), col("y"))).as("c"))
+      assert(!strs.queryExecution.optimizedPlan.toString.contains("intersect_count"))
+      assert(strs.as[Int].head() == 1)
+    } finally GraftExtensions.uninstall(spark)
+  }
+
+  test("intersect_count kernel: nulls, duplicates, empties match size(array_intersect) exactly") {
+    import graft.functions.TextHashExprs
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L, 2L, 3L, null), Seq[java.lang.Long](2L, 3L, 4L, null)),
+      (2L, Seq[java.lang.Long](), Seq[java.lang.Long](1L)),
+      (3L, Seq[java.lang.Long](5L, 5L, 5L), Seq[java.lang.Long](5L)),
+      (4L, Seq[java.lang.Long](null), Seq[java.lang.Long](1L)),
+      (5L, Seq[java.lang.Long](7L, 8L), Seq[java.lang.Long]()))
+      .toDF("id", "a", "b")
+    val both = df.select(col("id"),
+        TextHashExprs.intersectCountCol(col("a"), col("b")).as("k"),
+        size(array_intersect(col("a"), col("b"))).as("s"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    both.foreach { case (id, k, s) => assert(k == s, s"id=$id kernel=$k builtin=$s") }
+    // null array -> null in both forms
+    val withNull = df.withColumn("a",
+        when(col("id") === 1L, lit(null).cast("array<bigint>")).otherwise(col("a")))
+      .select(col("id"),
+        TextHashExprs.intersectCountCol(col("a"), col("b")).as("k"),
+        size(array_intersect(col("a"), col("b"))).as("s"))
+      .filter(col("id") === 1L).collect().head
+    assert(withNull.isNullAt(1) && withNull.isNullAt(2))
+  }
+
   test("float_dot and srp_sig are callable from SQL once registered") {
     shim.registerFunction(spark, GraftExtensions.floatDotFn)
     shim.registerFunction(spark, GraftExtensions.srpSigFn)
+    shim.registerFunction(spark, GraftExtensions.intersectCountFn)
+    assert(spark.sql(
+      "SELECT intersect_count(array(1L,2L,2L,3L), array(2L,3L,4L)) AS c")
+      .as[Int].head() == 2)
     emb.createOrReplaceTempView("ext_emb")
     val viaSql = spark.sql(
       """SELECT id, float_dot(emb, emb) AS d, srp_sig(emb, 6, 0) AS s
