@@ -52,4 +52,36 @@ object BucketedGraph {
     spark.table(s"${prefix}_edges")
       .groupBy("subject_id").agg(count(lit(1)).as("degree"))
   }
+
+  /** Write the REVERSE adjacency: the same edge rows bucketed by
+    * `object_id` as `<prefix>_edges_rev`. Forward (by subject) +
+    * reverse (by object) is the classic distributed graph-store
+    * layout: a k-hop traversal alternates the two tables and every
+    * hop's equi-join lands bucket-on-bucket — at 10^12 edges the
+    * duplicate storage buys shuffle-free traversal, the same trade
+    * every production adjacency store makes. */
+  def writeReverse(edges: DataFrame, prefix: String, nBuckets: Int): Unit =
+    edges.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, "object_id").sortBy("object_id")
+      .format("parquet").saveAsTable(s"${prefix}_edges_rev")
+
+  /** 2-hop traversal (a)-[e1]->(b)-[e2]->(c): hop 1 reads the REVERSE
+    * table (bucketed by object_id = the join key), hop 2 the FORWARD
+    * table (bucketed by subject_id) — the join is bucket-on-bucket, so
+    * the plan contains NO Exchange on either scan
+    * (ScaleTechniquesSpec asserts this). Self-pairs (a == c via a
+    * reciprocal edge) are kept — semantics, not plumbing, decides
+    * those downstream. */
+  def twoHop(spark: SparkSession, prefix: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rev = spark.table(s"${prefix}_edges_rev")
+      .select(col("subject_id").as("a"), col("relation_label").as("rel1"),
+        col("object_id"))
+    val fwd = spark.table(s"${prefix}_edges")
+      .select(col("subject_id"), col("relation_label").as("rel2"),
+        col("object_id").as("c"))
+    rev.join(fwd, rev("object_id") === fwd("subject_id"))
+      .select(col("a"), col("rel1"), col("object_id").as("b"),
+        col("rel2"), col("c"))
+  }
 }

@@ -47,6 +47,38 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("forward+reverse adjacency: 2-hop traversal plans NO Exchange on either scan") {
+    // succession chains (ORDER -> ORDER) so k-hop paths actually exist
+    val chain = graft.fixtures.Corpus.nextOrderEdges(spark, TestSpark.sf0001)
+      .select("subject_id", "relation_label", "object_id")
+    val nodes = chain.select(col("subject_id").as("id"))
+      .unionByName(chain.select(col("object_id").as("id"))).distinct()
+      .withColumn("label", lit("entity"))
+    BucketedGraph.write(nodes, chain, "spec_2hop", nBuckets = 8)
+    BucketedGraph.writeReverse(chain, "spec_2hop", nBuckets = 8)
+    try {
+      val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val hops = BucketedGraph.twoHop(spark, "spec_2hop")
+        val plan = hops.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucket-on-bucket 2-hop must not shuffle, plan was:\n$plan")
+        // same rows as the plain self-join over the raw edge frame
+        val a = chain.select(col("subject_id").as("a"),
+          col("relation_label").as("rel1"), col("object_id"))
+        val b = chain.select(col("subject_id"),
+          col("relation_label").as("rel2"), col("object_id").as("c"))
+        val expected = a.join(b, a("object_id") === b("subject_id")).count()
+        assert(hops.count() === expected && expected > 0)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spec_2hop_nodes")
+      spark.sql("DROP TABLE IF EXISTS spec_2hop_edges")
+      spark.sql("DROP TABLE IF EXISTS spec_2hop_edges_rev")
+    }
+  }
+
   test("IVF inverted lists written cid-partitioned are read with partition pruning") {
     val emb = spark.read
       .parquet(s"${TestSpark.sf0001}/embeddings.parquet")
