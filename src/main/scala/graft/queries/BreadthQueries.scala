@@ -133,6 +133,22 @@ object BreadthQueries {
     "q_handles" -> ((s, dir) => {
       tune(s)
       Corpus.handlesEdges(s, dir)
+    }),
+    // Graph-traversal semantics over an emitted edge family: 2-paths
+    // (a)-[next_order]->(b)-[next_order]->(c) with the accumulated day
+    // gap — the k-hop join the forward+reverse bucketed adjacency
+    // (BucketedGraph.twoHop) executes Exchange-free at store scale;
+    // here the same semantics as a plain oracle-checked self-join.
+    "q_two_hop" -> ((s, dir) => {
+      tune(s)
+      val e = Corpus.nextOrderEdges(s, dir)
+      val a = e.select(col("subject_id").as("a"), col("object_id").as("b"),
+        col("gap_days").as("g1"))
+      val b = e.select(col("subject_id").as("b2"), col("object_id").as("c"),
+        col("gap_days").as("g2"))
+      a.join(b, col("b") === col("b2"))
+        .select(col("a"), col("b"), col("c"),
+          (col("g1") + col("g2")).as("total_gap_days"))
     })
   )
 
@@ -401,6 +417,20 @@ object BreadthQueries {
         |       array_to_string(list_sort(list_distinct(list(p.p_brand)))[1:8],
         |                       '|') brands
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-        |GROUP BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_two_hop" ->
+      """WITH e AS (
+        |  SELECT 'ORDER:'||pk s, 'ORDER:'||o_orderkey o,
+        |         CAST(datediff('day', CAST(pd AS DATE),
+        |                       CAST(o_orderdate AS DATE)) AS BIGINT) g
+        |  FROM (SELECT o_orderkey, o_orderdate,
+        |               lag(o_orderkey) OVER w pk,
+        |               lag(o_orderdate) OVER w pd
+        |        FROM orders
+        |        WINDOW w AS (PARTITION BY o_custkey
+        |                     ORDER BY o_orderdate, o_orderkey))
+        |  WHERE pk IS NOT NULL)
+        |SELECT e1.s a, e1.o b, e2.o c, e1.g + e2.g total_gap_days
+        |FROM e e1 JOIN e e2 ON e2.s = e1.o""".stripMargin
   )
 }
