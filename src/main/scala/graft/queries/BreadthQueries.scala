@@ -6,8 +6,9 @@ import graft.fixtures.Corpus
 import graft.queries.CoreQueries.tune
 
 /** Breadth blocks 3 + 4 + 5 (round 4): twenty-three further KG edge
-  * families reaching the reference's FULL 40-edge-type vocabulary
-  * (schema_config.yaml:206-606 declares 40 association types — e.g.
+  * families taking the declared schema to 40 edge types, past the
+  * reference's 39 ACTIVE association types
+  * (schema_config.yaml:206-606 uncommented edge declarations — e.g.
   * drug_interacts_with_drug, disease_comorbid_with, side-effect,
   * orthology, regulatory and hierarchical tables), each re-expressed
   * over the driver tables as a DISTINCT operator shape and each fully

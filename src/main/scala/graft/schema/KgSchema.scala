@@ -135,8 +135,9 @@ object KgSchema {
     "best_supplied_by" -> EdgeType("best_supplied_by", "product", "supplier",
       Map("qty_milli" -> PInt)),
     "closest_to" -> EdgeType("closest_to", "product", "product", Map.empty),
-    // Breadth block 5 — 40 edge families total (reference parity:
-    // schema_config.yaml:206-606 declares 40 association types).
+    // Breadth block 5 — 40 edge families total (vs the reference's 39
+    // ACTIVE association types, schema_config.yaml:206-606 uncommented
+    // `represented_as: edge` entries).
     "in_family" -> EdgeType("in_family", "product", "ptype", Map.empty),
     "variant_of" -> EdgeType("variant_of", "product", "product",
       Map("family" -> PStr)),

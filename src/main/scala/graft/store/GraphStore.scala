@@ -239,6 +239,16 @@ object GraphStore {
     Files.deleteIfExists(p)
   }
 
+  /** Delete a snapshot directory with the manifest FIRST: the manifest's
+    * presence IS the commit, so removing it up front turns the snapshot
+    * into an invisible corpse before any data file disappears — a crash
+    * mid-delete can never leave a "committed" snapshot with missing data
+    * files (the inverse of the manifest-LAST commit discipline). */
+  private def deleteSnapshotDir(dir: Path): Unit = {
+    Files.deleteIfExists(dir.resolve("manifest.json"))
+    deleteRecursively(dir)
+  }
+
   /** Retention (Iceberg `expire_snapshots`): delete all but the newest
     * `keepLast` committed snapshots, plus any manifest-less corpses
     * older than the kept window (a corpse NEWER than the kept window is
@@ -260,7 +270,7 @@ object GraphStore {
         .toSeq
       finally s.close()
     val doomed = all.filter(n => n < cutoff && !keep.contains(n)).sorted
-    doomed.foreach(n => deleteRecursively(snapDir(base, stage, n)))
+    doomed.foreach(n => deleteSnapshotDir(snapDir(base, stage, n)))
     doomed.filter(committed.contains)
   }
 
@@ -280,7 +290,7 @@ object GraphStore {
         .map(_.getFileName.toString.stripPrefix("snapshot=").toLong)
         .filter(_ > n).toSeq
       finally s.close()
-    newer.foreach(m => deleteRecursively(snapDir(base, stage, m)))
+    newer.foreach(m => deleteSnapshotDir(snapDir(base, stage, m)))
   }
 
   def readLineage(spark: SparkSession, base: String, stage: String): Option[DataFrame] = {
