@@ -4,14 +4,24 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Prints ONE JSON line:
-  * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
-  *  "pipeline":{"n_pages":...,"n_triples":...,"triples_per_sec":...},
-  *  "cpus":N}
+  * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},
+  *  "query_counters":{...},"calib_ms":{"start":…,"end":…},"sf":...,
+  *  "pipeline":{"n_pages":...,"n_triples":...,"triples_per_sec":...,
+  *  "stages":[...]},"cpus":N}
   *
   * The headline metric for BASELINE.md is pipeline triples/sec
   * (end-to-end extract → link → canonicalize → CC → store). Scaling
   * evidence comes from running this main at two SPARK_GRAFT_CPUS levels
   * on the same SPARK_GRAFT_SF_DIR.
+  *
+  * The JSON is self-attributing: `query_counters` carries each
+  * headline query's median-rep task CPU / shuffle-write / scan volumes,
+  * `pipeline.stages` the per-stage equivalents, and `calib_ms` a fixed
+  * single-threaded probe timed at bench start and end. Normalization
+  * for a reader comparing rounds: if calib_ms is far above its ~1 s
+  * nominal or a sec rose while its cpu_s/shufW_mb/scan_mb stayed flat,
+  * the delta is host contention; a real code regression shows up as
+  * volumes or CPU moving with the wall time.
   */
 object Bench {
 
@@ -101,26 +111,47 @@ object Bench {
     }
 
     val pipelineOnly = sys.env.get("SPARK_GRAFT_PIPELINE_ONLY").contains("1")
+
+    // Self-attribution instruments (the bench JSON must let a reader
+    // separate "the host was slow" from "the code did more" without
+    // access to the machine): a shared task-counter listener feeding
+    // per-query counter deltas, plus a fixed single-threaded
+    // calibration probe timed at start and end. Probe nominal + query
+    // counters up = code regression; probe slow + volumes flat = host.
+    val counters = new graft.metrics.TaskCounters
+    spark.sparkContext.addSparkListener(counters)
+    val calibStartMs = graft.metrics.TaskCounters.calibrate()
+
     // Median of N timed runs per query inside ONE warmed JVM (host
     // throughput fluctuates 1.5-3× between runs; the median inside one
     // process is the stable number). A query failure is NEVER swallowed:
     // it is printed and reported as a negative sentinel in the JSON.
+    // Each rep's counter delta is captured (queries run serially, so a
+    // drained-bus snapshot delta is exact attribution); the reported
+    // counters are those of the median-time rep, so sec and counters
+    // describe the SAME execution.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    final case class Rep(sec: Double, cpuS: Double, shufWMb: Double, scanMb: Double)
     val results = (if (pipelineOnly) Seq.empty[String]
                    else headline.filter(SparkEntry.queries.contains)).map { name =>
-      val times =
+      val repRows =
         try (0 until reps).map { _ =>
+          graft.metrics.TaskCounters.drain(spark.sparkContext)
+          val c0 = counters.snapshot
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
+          val sec = (System.nanoTime() - t0) / 1e9
+          graft.metrics.TaskCounters.drain(spark.sparkContext)
+          val d = counters.snapshot.zip(c0).map { case (a, b) => a - b }
+          Rep(sec, d(1) / 1e9, d(2) / 1e6, d(4) / 1e6)
+        }.sortBy(_.sec)
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] FAILED $name: $e")
             e.printStackTrace()
-            Seq(-1.0)
+            Seq(Rep(-1.0, 0, 0, 0))
         }
-      name -> times(times.size / 2)
+      name -> repRows(repRows.size / 2)
     }
 
     // End-to-end pipeline into a fresh snapshot store (cold run).
@@ -138,17 +169,37 @@ object Bench {
     else Files.createTempDirectory("graft_store_")).toString
     val pipe = Pipeline.run(spark, sfDir, storeBase, partitions = cpus, mult = mult)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val calibEndMs = graft.metrics.TaskCounters.calibrate()
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + pipe.seconds
+    // Per-query attribution rows (same keys as `queries`): the median
+    // rep's task CPU seconds, shuffle-write MB, and scan MB. A sec that
+    // moved between rounds with flat counters is host variance, not a
+    // code regression — readable from this artifact alone.
+    val qCounters = results.map { case (k, v) =>
+      "\"" + k + "\":{" +
+        f""""cpu_s":${v.cpuS}%.2f,"shufW_mb":${v.shufWMb}%.1f,""" +
+        f""""scan_mb":${v.scanMb}%.1f}"""
+    }.mkString("{", ",", "}")
+    val stages = pipe.stages.map { s =>
+      "{\"name\":\"" + s.name + "\"," +
+        f""""wall_s":${s.wallS}%.2f,"cpu_s":${s.taskCpuS}%.2f,""" +
+        f""""run_s":${s.taskRunS}%.2f,"shufW_mb":${s.shufWMb}%.1f,""" +
+        f""""scan_mb":${s.scanMb}%.1f,"rows":${s.rows}}"""
+    }.mkString("[", ",", "]")
+    val total = results.map(_._2.sec).sum + pipe.seconds
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""query_counters":$qCounters,""" +
+        f""""calib_ms":{"start":$calibStartMs%.0f,"end":$calibEndMs%.0f},""" +
         s""""sf":"$sfDir","cpus":$cpus,"mult":$mult,""" +
         s""""pipeline":{"n_pages":${pipe.nPages},""" +
         s""""n_triples":${pipe.nTriples},"n_nodes":${pipe.nNodes},""" +
         s""""audit_mismatches":${pipe.auditMismatches},""" +
         s""""seconds":${pipe.seconds},"triples_per_sec":${pipe.triplesPerSec},""" +
-        s""""pages_per_sec":${pipe.pagesPerSec}}}""")
+        s""""pages_per_sec":${pipe.pagesPerSec},""" +
+        s""""stages":$stages}}""")
     // free the (possibly tmpfs-backed) store
     import java.nio.file.{Files => F, Path}
     import java.util.Comparator

@@ -24,10 +24,17 @@ import graft.triples.Triples
   */
 object Pipeline {
 
+  /** One stage's attribution row: wall seconds plus the task-counter
+    * deltas of the mark window (Bench serializes these into the bench
+    * JSON so the driver artifact is self-attributing). */
+  final case class StageMark(
+      name: String, wallS: Double, taskRunS: Double, taskCpuS: Double,
+      shufWMb: Double, scanMb: Double, rows: Long)
+
   final case class Result(
       nPages: Long, nTriples: Long, nNodes: Long,
       auditMismatches: Long, seconds: Double, triplesPerSec: Double,
-      pagesPerSec: Double)
+      pagesPerSec: Double, stages: Seq[StageMark] = Nil)
 
   /** Deterministic corpus amplification for scaling runs: `mult`
     * replicas per page with distinct urls (identical text — the triple
@@ -42,35 +49,6 @@ object Pipeline {
         concat(col("url"), lit("#"), col("rep")).as("url"),
         col("warc_ts"), col("html"), col("text"), col("lang"))
 
-  /** Per-stage Spark task counters (attribution discipline: a stage
-    * wall that moves between runs is explained by its own counters —
-    * task run/CPU time, shuffle and scan volume — not by guessing at
-    * host variance). Stages that overlap via the async futures are
-    * attributed to the mark window in which their Spark stages
-    * COMPLETE; the wall/cpu split plus these volumes is what separates
-    * "the host was slow" (run time up, volumes flat) from "the code
-    * did more" (volumes up). */
-  private final class StageCounters extends org.apache.spark.scheduler.SparkListener {
-    import java.util.concurrent.atomic.AtomicLong
-    val runMs = new AtomicLong; val cpuNs = new AtomicLong
-    val shufWrite = new AtomicLong; val shufRead = new AtomicLong
-    val input = new AtomicLong; val records = new AtomicLong
-    override def onStageCompleted(
-        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-      val m = sc.stageInfo.taskMetrics
-      if (m != null) {
-        runMs.addAndGet(m.executorRunTime)
-        cpuNs.addAndGet(m.executorCpuTime)
-        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        input.addAndGet(m.inputMetrics.bytesRead)
-        records.addAndGet(m.inputMetrics.recordsRead)
-      }
-    }
-    def snapshot: Seq[Long] = Seq(runMs.get, cpuNs.get, shufWrite.get,
-      shufRead.get, input.get, records.get)
-  }
-
   /** Stage names the pipeline commits — the retention sweep below and
     * external tooling share this list. */
   val Stages: Seq[String] = Seq("canonical_ids", "extracted", "mentions",
@@ -83,10 +61,21 @@ object Pipeline {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     var cpuLast = osBean.getProcessCpuTime
-    val counters = new StageCounters
+    // Per-stage Spark task counters (attribution discipline: a stage
+    // wall that moves between runs is explained by its own counters —
+    // task run/CPU time, shuffle and scan volume — not by guessing at
+    // host variance). Stages that overlap via the async futures are
+    // attributed to the mark window in which their Spark stages
+    // COMPLETE; the wall/cpu split plus these volumes is what separates
+    // "the host was slow" (run time up, volumes flat) from "the code
+    // did more" (volumes up). The marks accumulate into Result.stages
+    // so the bench JSON carries them verbatim.
+    val counters = new graft.metrics.TaskCounters
     spark.sparkContext.addSparkListener(counters)
     var cLast = counters.snapshot
+    val marks = scala.collection.mutable.ArrayBuffer.empty[StageMark]
     def mark(stage: String): Unit = {
+      graft.metrics.TaskCounters.drain(spark.sparkContext)
       val now = System.nanoTime()
       val cpuNow = osBean.getProcessCpuTime
       val c = counters.snapshot
@@ -96,6 +85,8 @@ object Pipeline {
         f"taskRun=${d(0) / 1e3}%.1fs taskCpu=${d(1) / 1e9}%.1fs " +
         f"shufW=${d(2) / 1e6}%.0fMB shufR=${d(3) / 1e6}%.0fMB " +
         f"scan=${d(4) / 1e6}%.0fMB rows=${d(5)}")
+      marks += StageMark(stage, (now - tLast) / 1e9, d(0) / 1e3, d(1) / 1e9,
+        d(2) / 1e6, d(4) / 1e6, d(5))
       tLast = now
       cpuLast = cpuNow
       cLast = c
@@ -385,6 +376,7 @@ object Pipeline {
     mark("finalize")
     spark.sparkContext.removeSparkListener(counters)
     val secs = (System.nanoTime() - t0) / 1e9
-    Result(nPages, nTriples, nNodes, audit, secs, nTriples / secs, nPages / secs)
+    Result(nPages, nTriples, nNodes, audit, secs, nTriples / secs, nPages / secs,
+      marks.toSeq)
   }
 }
