@@ -86,6 +86,32 @@ class SchemaSourcesSpec extends AnyFunSuite {
     assert(row.getAs[String]("tags") == "a|b")
   }
 
+  test("import-call artifact enumerates exactly the written labels (S10, write_import_call)") {
+    val nodes = Seq(
+      ("CUST:1", "customer", "acme"),
+      ("PART:1", "product", "widget")).toDF("id", "label", "name")
+    val edges = Seq(
+      ("CUST:1", "ordered", "PART:1"),
+      ("PART:1", "similar_to", "PART:1")).toDF("subject_id", "relation_label", "object_id")
+    val nOut = Files.createTempDirectory("csv_n_").toString
+    val eOut = Files.createTempDirectory("csv_e_").toString
+    CsvExport.writeNodes(nodes, nOut)
+    CsvExport.writeEdges(edges, eOut)
+    val (nl, el) = CsvExport.writeImportCall(spark, nOut, eOut)
+    assert(nl == Seq("customer", "product"))
+    assert(el == Seq("ordered", "similar_to"))
+    val script = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(nOut, "neo4j-admin-import-call.sh")), "UTF-8")
+    // exactly one --nodes / --relationships entry per written label, no extras
+    assert("--nodes=".r.findAllIn(script).size == 2)
+    assert("--relationships=".r.findAllIn(script).size == 2)
+    for (l <- nl) assert(script.contains(s"--nodes=$l="))
+    for (l <- el) assert(script.contains(s"--relationships=$l="))
+    assert(script.contains("--array-delimiter=\"|\"") && script.contains("--quote=\"'\""))
+    assert(script.contains("--skip-duplicate-nodes=true")
+      && script.contains("--skip-bad-relationships=true"))
+  }
+
   test("P6 pattern null-out golden") {
     val r = Seq(("12345", "unassigned1303")).toDF("a", "b")
       .select(StringFns.nullOutIfContains($"a", "unassigned"),
