@@ -67,6 +67,40 @@ object CoreQueries {
       val mentions = Linker.mentions(pages, Corpus.aliasDict(s, dir))
       Triples.extract(mentions, Corpus.canonicalIds(s, dir))
     }),
+    // §2.11 driver-visible: the SAME flagship triple set built by the
+    // STREAMING path — pages fed through a memory source in micro-
+    // batches (the test double for a Kafka/file readStream at scale),
+    // each batch committing idempotent mention + triple snapshots into
+    // the store via foreachBatch; the result is the union of batch
+    // snapshots with the read-side distinct the append-only contract
+    // prescribes. Oracle: identical SQL to q_triples — streamed ≡
+    // batch is checked by the DRIVER, not just ScalaTest.
+    "q_stream_triples" -> ((s, dir) => {
+      tune(s)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val pages = Corpus.pages(s, dir).select(col("url"), col("html"))
+        .as[graft.streaming.RawPage].collect()
+      val dict = Corpus.aliasDict(s, dir)
+      val canon = Corpus.canonicalIds(s, dir).localCheckpoint(true)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_streamq_" +
+        s.sparkContext.applicationId
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.RawPage]
+      val q = graft.streaming.StreamOps
+        .triplesIntoStore(in.toDF(), dict, canon, base).start()
+      val batchSize = math.max(1, pages.length / 3 + 1)
+      pages.grouped(batchSize).foreach { b =>
+        in.addData(b.toSeq); q.processAllAvailable()
+      }
+      q.stop()
+      val out = graft.store.GraphStore.readAllSnapshots(s, base, "triples_stream")
+        .get.distinct().localCheckpoint(true)
+      java.nio.file.Files.walk(java.nio.file.Path.of(base))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      out
+    }),
     // §2.5 at pipeline level: canonical-pair dedup of co-mentioned
     // products per page (the ppi reciprocal-dedup pattern applied to
     // web co-occurrence).
@@ -481,6 +515,20 @@ object CoreQueries {
         |       min('PARTRAW:' || p_partkey) OVER (PARTITION BY p_name) AS component
         |FROM part""".stripMargin,
     "q_triples" ->
+      """WITH pc AS (
+        |  SELECT p_partkey,
+        |         'PART:' || replace(min('PARTRAW:' || p_partkey) OVER (PARTITION BY p_name), 'PARTRAW:', '') AS pid
+        |  FROM part)
+        |SELECT DISTINCT 'CUST:' || o.o_custkey AS subject_id,
+        |       'ordered' AS relation_label, pc.pid AS object_id
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN pc ON pc.p_partkey = l.l_partkey
+        |UNION
+        |SELECT DISTINCT 'CUST:' || c.c_custkey, 'located_in', 'NATION:' || c.c_nationkey
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey""".stripMargin,
+    // identical to q_triples by construction: streamed union-distinct
+    // must equal the batch flagship triple set
+    "q_stream_triples" ->
       """WITH pc AS (
         |  SELECT p_partkey,
         |         'PART:' || replace(min('PARTRAW:' || p_partkey) OVER (PARTITION BY p_name), 'PARTRAW:', '') AS pid
