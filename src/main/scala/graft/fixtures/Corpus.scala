@@ -1215,11 +1215,17 @@ object Corpus {
     * connected components over the same-name chain graph — plus identity
     * rows for customers and nations, plus deliberate priority-2 decoys to
     * exercise the rank-1 fallback (reference: disease_adapter.py:2282-2319). */
-  def canonicalIds(spark: SparkSession, sfDir: String): DataFrame = {
+  def canonicalIds(spark: SparkSession, sfDir: String): DataFrame =
+    canonicalIdsFrom(spark, sfDir, partSameNameEdges(spark, sfDir))
+
+  /** [[canonicalIds]] over a CALLER-SUPPLIED alias-edge set (same
+    * vertex universe): the `canonOf` hook for the incremental-canon
+    * stream, where same-name edges accumulate across micro-batches. */
+  def canonicalIdsFrom(spark: SparkSession, sfDir: String,
+                       aliasEdges: DataFrame): DataFrame = {
     val verts = table(spark, sfDir, "part")
       .select(concat(lit("PARTRAW:"), col("p_partkey")).as("v"))
-    val cc = graft.cc.ConnectedComponents.run(
-      spark, partSameNameEdges(spark, sfDir), Some(verts))
+    val cc = graft.cc.ConnectedComponents.run(spark, aliasEdges, Some(verts))
     val partMap = cc.select(
       col("member").as("raw_id"),
       concat(lit("PART:"), regexp_replace(col("component"), "^PARTRAW:", ""))

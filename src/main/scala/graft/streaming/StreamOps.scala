@@ -24,6 +24,13 @@ final case class DupPair(id1: Long, id2: Long, common: Int,
 /** A raw page flowing into the streaming KG front-end. */
 final case class RawPage(url: String, html: Array[Byte])
 
+/** One event of the COMBINED streaming-KG input: kind="page" carries
+  * (url, html); kind="alias" carries a same-entity edge (src, dst) —
+  * the CDC-shaped union a continuously-constructed KG actually
+  * receives (crawled documents interleaved with identity assertions). */
+final case class KgEvent(kind: String, url: String, html: Array[Byte],
+                         src: String, dst: String)
+
 /** Streaming-shaped transforms. The reference is pure batch (SURVEY.md
   * §2.11) so streaming here is additive surface: the same windowed
   * aggregation works over a batch DataFrame and a readStream source —
@@ -118,6 +125,151 @@ object StreamOps {
           inputFp = s"stream;stage=triples;batch=$batchId")
         ()
       }
+
+  /** INCREMENTAL CANONICALIZATION: continuous KG construction where the
+    * canon table is itself stream-maintained — a late-arriving alias
+    * that merges two CC clusters triggers a correction pass, so the
+    * streamed store CONVERGES to the batch store instead of freezing
+    * early triples under a stale canonicalization.
+    *
+    * Per micro-batch (all commits idempotent, batchId-keyed):
+    *  1. the batch's alias edges are committed (`alias_stream`) and the
+    *     canon recomputed over the ACCUMULATED alias set via `canonOf`
+    *     (monotone merge: canonical = min member id, so a merge only
+    *     ever lowers a cluster's canonical — no oscillation);
+    *  2. the new canon is snapshot (`canon_stream`) and diffed against
+    *     the previous snapshot: the distinct (old_id → new_id) pairs of
+    *     entities whose canonical CHANGED are the batch's rewrite map
+    *     (`canon_rewrites`). Within one batch the map is conflict-free:
+    *     an id cannot be both a rewrite source and target (a target is
+    *     a current cluster minimum; a source just stopped being one);
+    *  3. previously-committed triples (including earlier corrections)
+    *     touching a rewritten id are re-emitted re-canonicalized as a
+    *     CORRECTION snapshot (`triples_corrections`) — a broadcast
+    *     semi-join against the (dimension-sized) rewrite map, so the
+    *     fact log is scanned but never shuffled; at warehouse scale the
+    *     store's entity-bucketed layout turns this into a pruned read;
+    *  4. the batch's own pages flow through extract → link → triples
+    *     under the CURRENT canon (`mentions_stream`/`triples_stream`).
+    *
+    * The exact triple set is [[resolvedStreamTriples]]: union of
+    * triple + correction snapshots with every endpoint resolved through
+    * the transitive closure of the rewrite log, then distinct — stale
+    * rows collapse onto their corrected twins. Scale: `canonOf` runs
+    * over the alias DIMENSION (entity-churn-proportional, never
+    * corpus-proportional); the fact side is only re-read for targeted
+    * corrections. Spec (StoreStreamSpec): a cluster-merging alias
+    * arriving in batch 2 — streamed final store ≡ batch store. */
+  def kgIncrementalIntoStore(
+      events: DataFrame, dict: DataFrame,
+      canonOf: DataFrame => DataFrame, storeBase: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.store.GraphStore
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val fp = s"stream;kg_incremental;batch=$batchId"
+        val pages = batch.filter(col("kind") === "page").select("url", "html")
+        val aliases = batch.filter(col("kind") === "alias").select("src", "dst")
+        if (!aliases.isEmpty)
+          GraphStore.commitBatch(spark, storeBase, "alias_stream", batchId,
+            aliases, inputFp = fp)
+        val allAliases = GraphStore
+          .readAllSnapshots(spark, storeBase, "alias_stream")
+          .getOrElse(Seq.empty[(String, String)].toDF("src", "dst"))
+        // canon is a dimension: materialize once per batch, reuse for
+        // diff, corrections, and this batch's triple extraction
+        val canon = canonOf(allAliases).localCheckpoint(true)
+        val prevId = GraphStore.snapshots(storeBase, "canon_stream")
+          .filter(_ < batchId).lastOption
+        GraphStore.commitBatch(spark, storeBase, "canon_stream", batchId,
+          canon, inputFp = fp)
+        val rewrites = prevId.map { p =>
+          val prev = GraphStore.readSnapshot(spark, storeBase, "canon_stream", p).get
+          graft.canon.Canonicalize.rank1(canon)
+            .withColumnRenamed("canonical_id", "new_id")
+            .join(graft.canon.Canonicalize.rank1(prev)
+              .withColumnRenamed("canonical_id", "old_id"), "raw_id")
+            .filter(col("old_id") =!= col("new_id"))
+            .select("old_id", "new_id").distinct()
+            .localCheckpoint(true)
+        }.filter(!_.isEmpty)
+        rewrites.foreach { rw =>
+          GraphStore.commitBatch(spark, storeBase, "canon_rewrites", batchId,
+            rw, inputFp = fp)
+          // corrections BEFORE this batch's own triples land (replay-
+          // safe either way: already-current rows miss the old-id join)
+          GraphStore.readAllSnapshots(spark, storeBase, "triples_stream")
+            .foreach { committed =>
+              val prior = GraphStore
+                .readAllSnapshots(spark, storeBase, "triples_corrections")
+                .map(committed.unionByName(_)).getOrElse(committed)
+              val m = broadcast(rw)
+              val corrected = prior
+                .join(m.select(col("old_id").as("subject_id"),
+                  col("new_id").as("s2")), Seq("subject_id"), "left")
+                .join(m.select(col("old_id").as("object_id"),
+                  col("new_id").as("o2")), Seq("object_id"), "left")
+                .filter(col("s2").isNotNull || col("o2").isNotNull)
+                .select(
+                  coalesce(col("s2"), col("subject_id")).as("subject_id"),
+                  col("relation_label"),
+                  coalesce(col("o2"), col("object_id")).as("object_id"))
+                .distinct()
+              if (!corrected.isEmpty)
+                GraphStore.commitBatch(spark, storeBase, "triples_corrections",
+                  batchId, corrected, inputFp = fp)
+            }
+        }
+        if (!pages.isEmpty) {
+          val mentions = mentionsStream(pages, dict)
+          GraphStore.commitBatch(spark, storeBase, "mentions_stream", batchId,
+            mentions, inputFp = fp)
+          val triples = graft.triples.Triples.extract(mentions, canon)
+          GraphStore.commitBatch(spark, storeBase, "triples_stream", batchId,
+            triples, inputFp = fp)
+        }
+        ()
+      }
+
+  /** The exact triple set of a [[kgIncrementalIntoStore]] store: union
+    * the triple and correction snapshots, resolve every endpoint
+    * through the transitive closure of the rewrite log (closure = the
+    * existing distributed CC over rewrite edges — component minimum IS
+    * the final target, because rewrites are monotone decreasing), then
+    * distinct. Superseded rows map onto their corrected twins and
+    * collapse; the rewrite dimension is broadcast, so the fact union is
+    * one scan + map-side join + one distinct shuffle. */
+  def resolvedStreamTriples(spark: org.apache.spark.sql.SparkSession,
+                            storeBase: String): DataFrame = {
+    import graft.store.GraphStore
+    import spark.implicits._
+    val t = GraphStore.readAllSnapshots(spark, storeBase, "triples_stream")
+      .getOrElse(Seq.empty[(String, String, String)]
+        .toDF("subject_id", "relation_label", "object_id"))
+    val all = GraphStore.readAllSnapshots(spark, storeBase, "triples_corrections")
+      .map(t.unionByName(_)).getOrElse(t)
+    GraphStore.readAllSnapshots(spark, storeBase, "canon_rewrites") match {
+      case None => all.distinct()
+      case Some(rw) =>
+        val closed = graft.cc.ConnectedComponents.run(spark,
+            rw.select(col("old_id").as("src"), col("new_id").as("dst")))
+          .select(col("member").as("old_id"), col("component").as("final_id"))
+        val m = broadcast(closed)
+        all
+          .join(m.select(col("old_id").as("subject_id"),
+            col("final_id").as("s2")), Seq("subject_id"), "left")
+          .join(m.select(col("old_id").as("object_id"),
+            col("final_id").as("o2")), Seq("object_id"), "left")
+          .select(
+            coalesce(col("s2"), col("subject_id")).as("subject_id"),
+            col("relation_label"),
+            coalesce(col("o2"), col("object_id")).as("object_id"))
+          .distinct()
+    }
+  }
 
   /** Streaming NEAR-duplicate detection over a continuously-arriving
     * corpus: the streaming counterpart of

@@ -350,6 +350,57 @@ class StoreStreamSpec extends AnyFunSuite {
       batchTriples.exceptAll(streamed).isEmpty)
   }
 
+  test("incremental canon: late cluster-merging aliases converge the streamed store to the batch store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.KgEvent
+    import graft.fixtures.Corpus
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("stream_inc_").toString
+    val sf = TestSpark.sf0001
+    val pages = Corpus.pages(spark, sf)
+      .select($"url", $"html").limit(300)
+      .as[(String, Array[Byte])].collect()
+      .map { case (u, h) => KgEvent("page", u, h, null, null) }
+    val aliasEdges = Corpus.partSameNameEdges(spark, sf)
+      .as[(String, String)].collect()
+      .map { case (s, d) => KgEvent("alias", null, null, s, d) }
+    assert(aliasEdges.nonEmpty) // the late batch MUST merge clusters
+    val dict = Corpus.aliasDict(spark, sf)
+
+    val in = MemoryStream[KgEvent]
+    val q = StreamOps.kgIncrementalIntoStore(
+      in.toDF(), dict,
+      aliases => Corpus.canonicalIdsFrom(spark, sf, aliases), base).start()
+    // batch 0: ALL pages, ZERO aliases — every part is its own cluster,
+    // so every multi-part name's triples commit under a stale canon
+    in.addData(pages.toSeq); q.processAllAvailable()
+    // batch 1: the aliases arrive late and merge clusters
+    in.addData(aliasEdges.toSeq); q.processAllAvailable()
+    q.stop()
+
+    // the merge produced a rewrite map and a correction snapshot
+    assert(GraphStore.readAllSnapshots(spark, base, "canon_rewrites")
+      .exists(_.count() > 0))
+    assert(GraphStore.readAllSnapshots(spark, base, "triples_corrections")
+      .exists(_.count() > 0))
+
+    val batchTriples = graft.triples.Triples.extract(
+      graft.link.Linker.mentions(
+        spark.createDataset(pages.toSeq.map(e => (e.url, e.html))).toDF("url", "html")
+          .select($"url", graft.extract.HtmlText.htmlText($"html").as("text")),
+        dict),
+      Corpus.canonicalIds(spark, sf))
+    val streamed = StreamOps.resolvedStreamTriples(spark, base)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batchTriples).isEmpty &&
+      batchTriples.exceptAll(streamed).isEmpty)
+    // and WITHOUT resolution the stale batch-0 rows disagree — the
+    // correction machinery is load-bearing, not vacuous
+    val unresolved = GraphStore.readAllSnapshots(spark, base, "triples_stream")
+      .get.distinct()
+    assert(!unresolved.exceptAll(batchTriples).isEmpty)
+  }
+
   test("streaming dedup agrees with batch exactDedup canonical ids") {
     import graft.streaming.HashedDoc
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
