@@ -101,6 +101,41 @@ object CoreQueries {
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
       out
     }),
+    // §2.11 incremental canonicalization, driver-visible: ALL pages
+    // arrive in batch 0 under an alias-free canon (every part its own
+    // cluster), every cluster-merging alias arrives in batch 1 — the
+    // worst case for a stale canonicalization. The rewrite-map +
+    // correction-snapshot machinery must converge the store to the
+    // batch answer, and the oracle (same SQL as q_triples) checks it
+    // value-by-value in DuckDB.
+    "q_stream_inc_triples" -> ((s, dir) => {
+      tune(s)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val pages = Corpus.pages(s, dir).select(col("url"), col("html"))
+        .as[(String, Array[Byte])].collect()
+        .map { case (u, h) => graft.streaming.KgEvent("page", u, h, null, null) }
+      val aliases = Corpus.partSameNameEdges(s, dir)
+        .as[(String, String)].collect()
+        .map { case (a, b) => graft.streaming.KgEvent("alias", null, null, a, b) }
+      val dict = Corpus.aliasDict(s, dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_streaminc_" +
+        s.sparkContext.applicationId
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.KgEvent]
+      val q = graft.streaming.StreamOps.kgIncrementalIntoStore(
+        in.toDF(), dict,
+        edges => Corpus.canonicalIdsFrom(s, dir, edges), base).start()
+      in.addData(pages.toSeq); q.processAllAvailable()
+      in.addData(aliases.toSeq); q.processAllAvailable()
+      q.stop()
+      val out = graft.streaming.StreamOps.resolvedStreamTriples(s, base)
+        .localCheckpoint(true)
+      java.nio.file.Files.walk(java.nio.file.Path.of(base))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      out
+    }),
     // §2.5 at pipeline level: canonical-pair dedup of co-mentioned
     // products per page (the ppi reciprocal-dedup pattern applied to
     // web co-occurrence).
@@ -529,6 +564,20 @@ object CoreQueries {
     // identical to q_triples by construction: streamed union-distinct
     // must equal the batch flagship triple set
     "q_stream_triples" ->
+      """WITH pc AS (
+        |  SELECT p_partkey,
+        |         'PART:' || replace(min('PARTRAW:' || p_partkey) OVER (PARTITION BY p_name), 'PARTRAW:', '') AS pid
+        |  FROM part)
+        |SELECT DISTINCT 'CUST:' || o.o_custkey AS subject_id,
+        |       'ordered' AS relation_label, pc.pid AS object_id
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN pc ON pc.p_partkey = l.l_partkey
+        |UNION
+        |SELECT DISTINCT 'CUST:' || c.c_custkey, 'located_in', 'NATION:' || c.c_nationkey
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey""".stripMargin,
+    // identical to q_triples by construction: the late-alias correction
+    // path must converge to the batch flagship triple set
+    "q_stream_inc_triples" ->
       """WITH pc AS (
         |  SELECT p_partkey,
         |         'PART:' || replace(min('PARTRAW:' || p_partkey) OVER (PARTITION BY p_name), 'PARTRAW:', '') AS pid
