@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},
-  *  "query_counters":{...},"calib_ms":{"start":…,"end":…},"sf":...,
+  *  "query_counters":{...},"calib_ms":{"start":…,"mid":…,"end":…},"sf":...,
   *  "pipeline":{"n_pages":...,"n_triples":...,"triples_per_sec":...,
   *  "stages":[...]},"cpus":N}
   *
@@ -154,6 +154,20 @@ object Bench {
       name -> repRows(repRows.size / 2)
     }
 
+    // Measurement hygiene between the two phases: the query phase
+    // leaves cached plans and localCheckpoint blocks behind (the
+    // IVF/LSH persisted intermediates), and localCheckpoint blocks are
+    // pinned until their RDDs are garbage-collected — left alone they
+    // squeeze the pipeline phase's unified memory. Free them so the
+    // pipeline half of this bench measures the pipeline, not the
+    // query phase's leftovers.
+    if (!pipelineOnly) {
+      spark.catalog.clearCache()
+      System.gc() // lets ContextCleaner reap the now-unreachable checkpoint RDDs
+      Thread.sleep(2000) // give the async block removals time to drain
+    }
+    val calibMidMs = graft.metrics.TaskCounters.calibrate()
+
     // End-to-end pipeline into a fresh snapshot store (cold run).
     // SPARK_GRAFT_MULT amplifies the corpus deterministically for
     // scaling-evidence runs (same input at both parallelism levels).
@@ -192,7 +206,8 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""query_counters":$qCounters,""" +
-        f""""calib_ms":{"start":$calibStartMs%.0f,"end":$calibEndMs%.0f},""" +
+        f""""calib_ms":{"start":$calibStartMs%.0f,"mid":$calibMidMs%.0f,""" +
+        f""""end":$calibEndMs%.0f},""" +
         s""""sf":"$sfDir","cpus":$cpus,"mult":$mult,""" +
         s""""pipeline":{"n_pages":${pipe.nPages},""" +
         s""""n_triples":${pipe.nTriples},"n_nodes":${pipe.nNodes},""" +
