@@ -34,6 +34,12 @@ object Bench {
     "q_doc_stats", "q_events_hourly")
 
   def main(args: Array[String]): Unit = {
+    // The one-line JSON below is built with f"" interpolators, which
+    // format through the DEFAULT locale — under a comma-decimal locale
+    // (de_DE, fr_FR, …) "%.2f" would emit `0,52` and break every
+    // downstream parse of the artifact. This main owns its JVM: pin
+    // the root locale.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
@@ -53,54 +59,65 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_FAMILY_TIMES").contains("1")) {
       import graft.fixtures.Corpus
       val canon = Corpus.canonicalIds(spark, sfDir).localCheckpoint(true)
+      // Mirror the pipeline: the ~14 lineitem-derived families share ONE
+      // materialized lineFacts pass there, so time that pass as its own
+      // row and each family as its MARGINAL group-by over the cached
+      // frame — a per-family number that includes a private lineFacts
+      // rebuild would misattribute the shared join to every family.
+      val lf = Corpus.lineFacts(spark, sfDir, Some(canon))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lfT0 = System.nanoTime()
+      val lfRows = lf.count()
+      val lfSec = (System.nanoTime() - lfT0) / 1e9
       val fams: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
         "placed" -> (() => Corpus.placedEdges(spark, sfDir)),
-        "contains" -> (() => Corpus.containsEdges(spark, sfDir, canon)),
+        "contains" -> (() => Corpus.containsFrom(lf)),
         "of_type" -> (() => Corpus.ofTypeEdges(spark, sfDir)),
         "performed" -> (() => Corpus.performedEdges(spark, sfDir)),
         "written_in" -> (() => Corpus.writtenInEdges(spark, sfDir)),
         "from_source" -> (() => Corpus.fromSourceEdges(spark, sfDir)),
-        "fulfills" -> (() => Corpus.fulfillsEdges(spark, sfDir)),
-        "supplies" -> (() => Corpus.supplyEdges(spark, sfDir, canon)),
+        "fulfills" -> (() => Corpus.fulfillsFrom(lf)),
+        "supplies" -> (() => Corpus.supplyFrom(lf)),
         "in_region" -> (() => Corpus.inRegionEdges(spark, sfDir)),
         "branded_as" -> (() => Corpus.brandedAsEdges(spark, sfDir)),
         "in_segment" -> (() => Corpus.inSegmentEdges(spark, sfDir)),
         "from_nation" -> (() => Corpus.fromNationEdges(spark, sfDir)),
-        "rated" -> (() => Corpus.ratedEdges(spark, sfDir, canon)),
+        "rated" -> (() => Corpus.ratedFrom(lf)),
         "near_dup_of" -> (() => graft.textops.DedupOps.minhashNearDupPairs(
           Corpus.table(spark, sfDir, "documents").select("doc_id", "text"),
           "doc_id", "text")),
-        "shares_part" -> (() => Corpus.sharesPartEdges(spark, sfDir, canon)),
-        "co_purchased_with" -> (() => Corpus.coPurchasedEdges(spark, sfDir)),
+        "shares_part" -> (() => Corpus.sharesPartFrom(lf)),
+        "co_purchased_with" -> (() => Corpus.coPurchasedFrom(lf)),
         "cites" -> (() => Corpus.citesEdges(spark, sfDir)),
         "touched" -> (() => Corpus.touchedEdges(spark, sfDir)),
         "peer_of" -> (() => Corpus.peerOfEdges(spark, sfDir)),
         "next_order" -> (() => Corpus.nextOrderEdges(spark, sfDir)),
-        "returned" -> (() => Corpus.returnedEdges(spark, sfDir, canon)),
-        "ships_to" -> (() => Corpus.shipsToEdges(spark, sfDir)),
+        "returned" -> (() => Corpus.returnedFrom(lf)),
+        "ships_to" -> (() => Corpus.shipsToFrom(lf)),
         // breadth block 4
         "similar_to" -> (() => Corpus.similarToEdges(spark, sfDir)),
         "followed_by" -> (() => Corpus.followedByEdges(spark, sfDir)),
         "located_in_region" -> (() => Corpus.locatedInRegionEdges(spark, sfDir)),
-        "best_supplied_by" -> (() => Corpus.bestSupplierEdges(spark, sfDir, canon)),
+        "best_supplied_by" -> (() => Corpus.bestSupplierFrom(lf)),
         "closest_to" -> (() => Corpus.closestPartEdges(spark, sfDir)),
         // breadth block 5
         "in_family" -> (() => Corpus.inFamilyEdges(spark, sfDir)),
         "variant_of" -> (() => Corpus.variantOfEdges(spark, sfDir)),
-        "bundle_with" -> (() => Corpus.bundleWithEdges(spark, sfDir, canon)),
+        "bundle_with" -> (() => Corpus.bundleWithFrom(lf)),
         "regulates" -> (() => Corpus.regulatesEdges(spark, sfDir)),
         "prefers" -> (() => Corpus.prefersEdges(spark, sfDir)),
-        "bought_from" -> (() => Corpus.boughtFromEdges(spark, sfDir)),
+        "bought_from" -> (() => Corpus.boughtFromFrom(lf)),
         "representative_order" ->
           (() => Corpus.representativeOrderEdges(spark, sfDir)),
-        "charged_with" -> (() => Corpus.chargedWithEdges(spark, sfDir)),
+        "charged_with" -> (() => Corpus.chargedWithFrom(lf)),
         "dominant_lang" -> (() => Corpus.dominantLangEdges(spark, sfDir)),
-        "handles" -> (() => Corpus.handlesEdges(spark, sfDir)))
-      val timed = fams.map { case (name, f) =>
-        val t0 = System.nanoTime()
-        val n = f().count()
-        val s = (System.nanoTime() - t0) / 1e9
-        name -> (s, n)
+        "handles" -> (() => Corpus.handlesFrom(lf)))
+      val timed = ("lineFacts_shared" -> (lfSec, lfRows)) +: fams.map {
+        case (name, f) =>
+          val t0 = System.nanoTime()
+          val n = f().count()
+          val s = (System.nanoTime() - t0) / 1e9
+          name -> (s, n)
       }
       println("{\"metric\":\"family_times\",\"sf\":\"" + sfDir + "\",\"families\":{" +
         timed.map { case (k, (s, n)) =>

@@ -248,6 +248,15 @@ object Pipeline {
     // lazy, so a resumed run never materializes it.
     val lineFacts = Corpus.lineFacts(spark, sfDir, Some(canon))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // followed_by is both its own family and the regulates input —
+    // PERSISTED so it truly computes once (ADVICE r4; passing the same
+    // lazy frame is not sharing: regulatesFrom materializes a Project
+    // over this plan, which CacheManager would not match to the bare
+    // plan the edges union evaluates later). Lazy, like lineFacts, so
+    // a resumed run never materializes it; unpersisted after the edges
+    // commit.
+    val followedBy = Corpus.followedByEdges(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = GraphStore.getOrCompute(spark, storeBase, "edges",
         partitionByCols = Seq("bucket"), inputFp = fpEdges, lineageAsync = true) {
       import graft.merge.MergeSources
@@ -291,10 +300,6 @@ object Pipeline {
       // concurrently — their Spark jobs interleave across the task
       // slots instead of running serially at plan-build time.
       val bundleWithF = Future(Corpus.bundleWithFrom(lineFacts))
-      // followed_by is both its own family and the regulates input —
-      // computed ONCE (ADVICE r4: the single-arg overload recomputed
-      // the transition window inside).
-      val followedBy = Corpus.followedByEdges(spark, sfDir)
       val regulatesF = Future(Corpus.regulatesFrom(followedBy))
       val nearDupF = Future {
         graft.textops.DedupOps.minhashNearDupPairs(
@@ -358,6 +363,7 @@ object Pipeline {
     }
     mark("edges")
     lineFacts.unpersist(false)
+    followedBy.unpersist(false)
     hotTables.foreach(_.unpersist(false))
 
     Await.result(triplesF, Duration.Inf)

@@ -89,17 +89,21 @@ object CoreQueries {
         .MemoryStream[graft.streaming.RawPage]
       val q = graft.streaming.StreamOps
         .triplesIntoStore(in.toDF(), dict, canon, base).start()
-      val batchSize = math.max(1, pages.length / 3 + 1)
-      pages.grouped(batchSize).foreach { b =>
-        in.addData(b.toSeq); q.processAllAvailable()
+      try {
+        val batchSize = math.max(1, pages.length / 3 + 1)
+        pages.grouped(batchSize).foreach { b =>
+          in.addData(b.toSeq); q.processAllAvailable()
+        }
+        graft.store.GraphStore.readAllSnapshots(s, base, "triples_stream")
+          .get.distinct().localCheckpoint(true)
+      } finally { // a failed batch must not leak the tmp store
+        q.stop()
+        val p = java.nio.file.Path.of(base)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
       }
-      q.stop()
-      val out = graft.store.GraphStore.readAllSnapshots(s, base, "triples_stream")
-        .get.distinct().localCheckpoint(true)
-      java.nio.file.Files.walk(java.nio.file.Path.of(base))
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      out
     }),
     // §2.11 incremental canonicalization, driver-visible: ALL pages
     // arrive in batch 0 under an alias-free canon (every part its own
@@ -126,15 +130,19 @@ object CoreQueries {
       val q = graft.streaming.StreamOps.kgIncrementalIntoStore(
         in.toDF(), dict,
         edges => Corpus.canonicalIdsFrom(s, dir, edges), base).start()
-      in.addData(pages.toSeq); q.processAllAvailable()
-      in.addData(aliases.toSeq); q.processAllAvailable()
-      q.stop()
-      val out = graft.streaming.StreamOps.resolvedStreamTriples(s, base)
-        .localCheckpoint(true)
-      java.nio.file.Files.walk(java.nio.file.Path.of(base))
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      out
+      try {
+        in.addData(pages.toSeq); q.processAllAvailable()
+        in.addData(aliases.toSeq); q.processAllAvailable()
+        graft.streaming.StreamOps.resolvedStreamTriples(s, base)
+          .localCheckpoint(true)
+      } finally { // a failed batch must not leak the tmp store
+        q.stop()
+        val p = java.nio.file.Path.of(base)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
     }),
     // §2.5 at pipeline level: canonical-pair dedup of co-mentioned
     // products per page (the ppi reciprocal-dedup pattern applied to

@@ -38,13 +38,56 @@ object CsvExport {
       }
     }
 
-  def writeNodes(nodes: DataFrame, outDir: String): Unit =
-    csvReady(nodes).write.mode("overwrite")
-      .partitionBy("label").option("header", "true").csv(outDir)
+  /** neo4j-admin bulk-import field-spec header line for `df` (built
+    * from the PRE-sanitize schema, so array columns keep their
+    * `string[]` spec after the pipe-join). The label/type itself comes
+    * from the `--nodes=<label>=` / `--relationships=<type>=` option
+    * name, not a column — the partition column is excluded, matching
+    * the data files `partitionBy` writes. Data files are HEADERLESS:
+    * neo4j-admin treats only the first line of the first matched file
+    * as the header, so a shared one-line `header.csv` is written at
+    * the export root and listed first in the import call. */
+  private[store] def neoHeader(df: DataFrame, partitionCol: String,
+                               isEdges: Boolean): String = {
+    import org.apache.spark.sql.types._
+    df.schema.fields.filterNot(_.name == partitionCol).map { f =>
+      f.name match {
+        case "id" if !isEdges         => "id:ID"
+        case "subject_id" if isEdges  => ":START_ID"
+        case "object_id" if isEdges   => ":END_ID"
+        case n => f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => s"$n:long"
+          case FloatType | DoubleType | _: DecimalType       => s"$n:double"
+          case BooleanType                                   => s"$n:boolean"
+          case _: ArrayType                                  => s"$n:string[]"
+          case _                                             => n
+        }
+      }
+    }.mkString(",")
+  }
 
-  def writeEdges(edges: DataFrame, outDir: String): Unit =
+  private def writeTextFile(df: DataFrame, dir: String, name: String,
+                            content: String): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(conf)
+    val os = fs.create(p, true)
+    try os.write(content.getBytes("UTF-8")) finally os.close()
+  }
+
+  def writeNodes(nodes: DataFrame, outDir: String): Unit = {
+    csvReady(nodes).write.mode("overwrite")
+      .partitionBy("label").option("header", "false").csv(outDir)
+    writeTextFile(nodes, outDir, "header.csv",
+      neoHeader(nodes, "label", isEdges = false) + "\n")
+  }
+
+  def writeEdges(edges: DataFrame, outDir: String): Unit = {
     csvReady(edges).write.mode("overwrite")
-      .partitionBy("relation_label").option("header", "true").csv(outDir)
+      .partitionBy("relation_label").option("header", "false").csv(outDir)
+    writeTextFile(edges, outDir, "header.csv",
+      neoHeader(edges, "relation_label", isEdges = true) + "\n")
+  }
 
   /** The terminal import-call artifact — the reference's
     * `bc.write_import_call()` (create_crossbar.py:114,201) emits the
@@ -78,11 +121,14 @@ object CsvExport {
     script ++= s"neo4j-admin database import full $database \\\n"
     script ++= "  --delimiter=\",\" --array-delimiter=\"|\" --quote=\"'\" \\\n"
     script ++= "  --skip-duplicate-nodes=true --skip-bad-relationships=true \\\n"
+    // each entry lists the shared one-line header file FIRST, then the
+    // headerless data parts — neo4j-admin reads the header from the
+    // first line of the first matched file only
     nodeLabels.foreach { l =>
-      script ++= s"""  --nodes=$l="$nodesDir/label=$l/part-.*\\.csv" \\\n"""
+      script ++= s"""  --nodes=$l="$nodesDir/header.csv,$nodesDir/label=$l/part-.*\\.csv" \\\n"""
     }
     edgeLabels.foreach { l =>
-      script ++= s"""  --relationships=$l="$edgesDir/relation_label=$l/part-.*\\.csv" \\\n"""
+      script ++= s"""  --relationships=$l="$edgesDir/header.csv,$edgesDir/relation_label=$l/part-.*\\.csv" \\\n"""
     }
     script ++= s"  --overwrite-destination=true\n"
     val outPath = new org.apache.hadoop.fs.Path(nodesDir, "neo4j-admin-import-call.sh")

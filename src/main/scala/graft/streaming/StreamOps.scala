@@ -173,20 +173,32 @@ object StreamOps {
         val fp = s"stream;kg_incremental;batch=$batchId"
         val pages = batch.filter(col("kind") === "page").select("url", "html")
         val aliases = batch.filter(col("kind") === "alias").select("src", "dst")
-        if (!aliases.isEmpty)
+        val hasAliases = !aliases.isEmpty // one job, reused thrice below
+        if (hasAliases)
           GraphStore.commitBatch(spark, storeBase, "alias_stream", batchId,
             aliases, inputFp = fp)
-        val allAliases = GraphStore
-          .readAllSnapshots(spark, storeBase, "alias_stream")
-          .getOrElse(Seq.empty[(String, String)].toDF("src", "dst"))
-        // canon is a dimension: materialize once per batch, reuse for
-        // diff, corrections, and this batch's triple extraction
-        val canon = canonOf(allAliases).localCheckpoint(true)
         val prevId = GraphStore.snapshots(storeBase, "canon_stream")
           .filter(_ < batchId).lastOption
-        GraphStore.commitBatch(spark, storeBase, "canon_stream", batchId,
-          canon, inputFp = fp)
-        val rewrites = prevId.map { p =>
+        // canon is a dimension: materialize once per batch, reuse for
+        // diff, corrections, and this batch's triple extraction. An
+        // ALIAS-FREE batch cannot change it — reuse the previous
+        // snapshot and skip the CC recompute, the snapshot write, and
+        // the provably-empty diff (a page-heavy stream pays canon work
+        // only on entity churn, keeping the path churn-proportional).
+        val canon =
+          if (!hasAliases && prevId.nonEmpty)
+            GraphStore.readSnapshot(spark, storeBase, "canon_stream",
+              prevId.get).get
+          else {
+            val allAliases = GraphStore
+              .readAllSnapshots(spark, storeBase, "alias_stream")
+              .getOrElse(Seq.empty[(String, String)].toDF("src", "dst"))
+            val c = canonOf(allAliases).localCheckpoint(true)
+            GraphStore.commitBatch(spark, storeBase, "canon_stream", batchId,
+              c, inputFp = fp)
+            c
+          }
+        val rewrites = prevId.filter(_ => hasAliases).map { p =>
           val prev = GraphStore.readSnapshot(spark, storeBase, "canon_stream", p).get
           graft.canon.Canonicalize.rank1(canon)
             .withColumnRenamed("canonical_id", "new_id")

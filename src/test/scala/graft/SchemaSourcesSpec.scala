@@ -80,7 +80,13 @@ class SchemaSourcesSpec extends AnyFunSuite {
     CsvExport.writeNodes(nodes, out)
     val labelDirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("label="))
     assert(labelDirs.toSet == Set("label=customer"))
-    val back = spark.read.option("header", "true").csv(out)
+    // data files are HEADERLESS (neo4j-admin bulk-import layout); the
+    // one-line header.csv at the root carries the field specs
+    val header = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(out, "header.csv")), "UTF-8").trim
+    assert(header == "id:ID,props,tags:string[]")
+    val back = spark.read.csv(out + "/label=customer")
+      .toDF("id", "props", "tags")
     val row = back.head()
     assert(row.getAs[String]("props") == "name:o^brien,x") // sanitize applied to map values
     assert(row.getAs[String]("tags") == "a|b")
@@ -110,6 +116,16 @@ class SchemaSourcesSpec extends AnyFunSuite {
     assert(script.contains("--array-delimiter=\"|\"") && script.contains("--quote=\"'\""))
     assert(script.contains("--skip-duplicate-nodes=true")
       && script.contains("--skip-bad-relationships=true"))
+    // every entry lists the shared header file first, then the
+    // headerless parts — the layout neo4j-admin actually imports
+    assert(script.contains(s"""--nodes=customer="$nOut/header.csv,$nOut/label=customer/part-.*\\.csv""""))
+    assert(script.contains(s"""--relationships=ordered="$eOut/header.csv,$eOut/relation_label=ordered/part-.*\\.csv""""))
+    val nHeader = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(nOut, "header.csv")), "UTF-8").trim
+    val eHeader = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(eOut, "header.csv")), "UTF-8").trim
+    assert(nHeader == "id:ID,name")
+    assert(eHeader == ":START_ID,:END_ID")
   }
 
   test("P6 pattern null-out golden") {

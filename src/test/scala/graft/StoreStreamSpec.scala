@@ -371,11 +371,16 @@ class StoreStreamSpec extends AnyFunSuite {
     val q = StreamOps.kgIncrementalIntoStore(
       in.toDF(), dict,
       aliases => Corpus.canonicalIdsFrom(spark, sf, aliases), base).start()
-    // batch 0: ALL pages, ZERO aliases — every part is its own cluster,
+    // batch 0: most pages, ZERO aliases — every part is its own cluster,
     // so every multi-part name's triples commit under a stale canon
-    in.addData(pages.toSeq); q.processAllAvailable()
+    val (early, late) = pages.splitAt(250)
+    in.addData(early.toSeq); q.processAllAvailable()
     // batch 1: the aliases arrive late and merge clusters
     in.addData(aliasEdges.toSeq); q.processAllAvailable()
+    // batch 2: alias-free page batch AFTER the merge — must reuse the
+    // batch-1 canon (no CC recompute, no new canon snapshot) and land
+    // its triples already-correct
+    in.addData(late.toSeq); q.processAllAvailable()
     q.stop()
 
     // the merge produced a rewrite map and a correction snapshot
@@ -383,6 +388,8 @@ class StoreStreamSpec extends AnyFunSuite {
       .exists(_.count() > 0))
     assert(GraphStore.readAllSnapshots(spark, base, "triples_corrections")
       .exists(_.count() > 0))
+    // the alias-free batch 2 skipped the canon write: snapshots 0 and 1
+    assert(GraphStore.snapshots(base, "canon_stream") == Seq(0L, 1L))
 
     val batchTriples = graft.triples.Triples.extract(
       graft.link.Linker.mentions(
