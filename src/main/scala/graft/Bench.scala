@@ -69,6 +69,11 @@ object Bench {
       val lfT0 = System.nanoTime()
       val lfRows = lf.count()
       val lfSec = (System.nanoTime() - lfT0) / 1e9
+      // followed_by is likewise shared with regulates in the pipeline:
+      // its own row below pays the materialization (persist is lazy),
+      // regulates is timed as the marginal lift computation over it.
+      val fb = Corpus.followedByEdges(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val fams: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
         "placed" -> (() => Corpus.placedEdges(spark, sfDir)),
         "contains" -> (() => Corpus.containsFrom(lf)),
@@ -96,7 +101,7 @@ object Bench {
         "ships_to" -> (() => Corpus.shipsToFrom(lf)),
         // breadth block 4
         "similar_to" -> (() => Corpus.similarToEdges(spark, sfDir)),
-        "followed_by" -> (() => Corpus.followedByEdges(spark, sfDir)),
+        "followed_by" -> (() => fb),
         "located_in_region" -> (() => Corpus.locatedInRegionEdges(spark, sfDir)),
         "best_supplied_by" -> (() => Corpus.bestSupplierFrom(lf)),
         "closest_to" -> (() => Corpus.closestPartEdges(spark, sfDir)),
@@ -104,7 +109,7 @@ object Bench {
         "in_family" -> (() => Corpus.inFamilyEdges(spark, sfDir)),
         "variant_of" -> (() => Corpus.variantOfEdges(spark, sfDir)),
         "bundle_with" -> (() => Corpus.bundleWithFrom(lf)),
-        "regulates" -> (() => Corpus.regulatesEdges(spark, sfDir)),
+        "regulates" -> (() => Corpus.regulatesFrom(fb)),
         "prefers" -> (() => Corpus.prefersEdges(spark, sfDir)),
         "bought_from" -> (() => Corpus.boughtFromFrom(lf)),
         "representative_order" ->
@@ -233,10 +238,7 @@ object Bench {
         s""""pages_per_sec":${pipe.pagesPerSec},""" +
         s""""stages":$stages}}""")
     // free the (possibly tmpfs-backed) store
-    import java.nio.file.{Files => F, Path}
-    import java.util.Comparator
-    F.walk(Path.of(storeBase)).sorted(Comparator.reverseOrder[Path]())
-      .forEach(p => F.deleteIfExists(p))
+    graft.store.GraphStore.deleteRecursively(java.nio.file.Path.of(storeBase))
     spark.stop()
   }
 }

@@ -98,11 +98,7 @@ object CoreQueries {
           .get.distinct().localCheckpoint(true)
       } finally { // a failed batch must not leak the tmp store
         q.stop()
-        val p = java.nio.file.Path.of(base)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        graft.store.GraphStore.deleteRecursively(java.nio.file.Path.of(base))
       }
     }),
     // §2.11 incremental canonicalization, driver-visible: ALL pages
@@ -137,11 +133,7 @@ object CoreQueries {
           .localCheckpoint(true)
       } finally { // a failed batch must not leak the tmp store
         q.stop()
-        val p = java.nio.file.Path.of(base)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        graft.store.GraphStore.deleteRecursively(java.nio.file.Path.of(base))
       }
     }),
     // §2.5 at pipeline level: canonical-pair dedup of co-mentioned

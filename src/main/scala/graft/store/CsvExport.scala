@@ -59,6 +59,12 @@ object CsvExport {
           case ByteType | ShortType | IntegerType | LongType => s"$n:long"
           case FloatType | DoubleType | _: DecimalType       => s"$n:double"
           case BooleanType                                   => s"$n:boolean"
+          // arrays keep their ELEMENT type through the pipe-join
+          case ArrayType(ByteType | ShortType | IntegerType | LongType, _) =>
+            s"$n:long[]"
+          case ArrayType(FloatType | DoubleType | _: DecimalType, _) =>
+            s"$n:double[]"
+          case ArrayType(BooleanType, _)                     => s"$n:boolean[]"
           case _: ArrayType                                  => s"$n:string[]"
           case _                                             => n
         }
@@ -75,16 +81,23 @@ object CsvExport {
     try os.write(content.getBytes("UTF-8")) finally os.close()
   }
 
+  // The writer's quote char must MATCH the import call's --quote="'"
+  // (Spark's default '"' would wrap comma-carrying fields in double
+  // quotes neo4j-admin then reads as data). Safe as the quote: the
+  // sanitize pass maps every ' in values to ^ (F4), so the quote char
+  // never occurs inside a field.
+  private val QuoteOpts = Map("header" -> "false", "quote" -> "'")
+
   def writeNodes(nodes: DataFrame, outDir: String): Unit = {
     csvReady(nodes).write.mode("overwrite")
-      .partitionBy("label").option("header", "false").csv(outDir)
+      .partitionBy("label").options(QuoteOpts).csv(outDir)
     writeTextFile(nodes, outDir, "header.csv",
       neoHeader(nodes, "label", isEdges = false) + "\n")
   }
 
   def writeEdges(edges: DataFrame, outDir: String): Unit = {
     csvReady(edges).write.mode("overwrite")
-      .partitionBy("relation_label").option("header", "false").csv(outDir)
+      .partitionBy("relation_label").options(QuoteOpts).csv(outDir)
     writeTextFile(edges, outDir, "header.csv",
       neoHeader(edges, "relation_label", isEdges = true) + "\n")
   }

@@ -230,7 +230,9 @@ object GraphStore {
     else Some(spark.read.parquet(dir.resolve("data").toString))
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  /** Close-safe recursive delete (shared by the snapshot expiry below
+    * and the tmp-store cleanup in Bench / the stream queries). */
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val s = Files.list(p)
       try s.iterator().asScala.toSeq.foreach(deleteRecursively)

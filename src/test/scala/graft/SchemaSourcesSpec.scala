@@ -74,22 +74,25 @@ class SchemaSourcesSpec extends AnyFunSuite {
 
   test("csv export: per-label dirs, sanitized strings, pipe-joined arrays/maps (S11/F4/F8)") {
     val nodes = Seq(
-      ("CUST:1", "customer", Map("name" -> "o'brien|x"), Seq("a", "b"))
-    ).toDF("id", "label", "props", "tags")
+      ("CUST:1", "customer", Map("name" -> "o'brien|x"), Seq("a", "b"),
+        Seq(1.5, 2.5))
+    ).toDF("id", "label", "props", "tags", "scores")
     val out = Files.createTempDirectory("csv_").toString
     CsvExport.writeNodes(nodes, out)
     val labelDirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("label="))
     assert(labelDirs.toSet == Set("label=customer"))
     // data files are HEADERLESS (neo4j-admin bulk-import layout); the
-    // one-line header.csv at the root carries the field specs
+    // one-line header.csv at the root carries the field specs — note
+    // the numeric array keeps its element type (double[], not string[])
     val header = new String(Files.readAllBytes(
       java.nio.file.Paths.get(out, "header.csv")), "UTF-8").trim
-    assert(header == "id:ID,props,tags:string[]")
-    val back = spark.read.csv(out + "/label=customer")
-      .toDF("id", "props", "tags")
+    assert(header == "id:ID,props,tags:string[],scores:double[]")
+    val back = spark.read.option("quote", "'").csv(out + "/label=customer")
+      .toDF("id", "props", "tags", "scores")
     val row = back.head()
     assert(row.getAs[String]("props") == "name:o^brien,x") // sanitize applied to map values
     assert(row.getAs[String]("tags") == "a|b")
+    assert(row.getAs[String]("scores") == "1.5|2.5")
   }
 
   test("import-call artifact enumerates exactly the written labels (S10, write_import_call)") {
