@@ -74,11 +74,25 @@ object Bench {
       // regulates is timed as the marginal lift computation over it.
       val fb = Corpus.followedByEdges(spark, sfDir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eventFacts/docLangFacts are likewise shared in the pipeline
+      // (events: performed + prefers + 2 node families; documents:
+      // dominant_lang + 2 node families) — timed as their own rows,
+      // the families as marginal rollups.
+      val ef = Corpus.eventFacts(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val efT0 = System.nanoTime()
+      val efRows = ef.count()
+      val efSec = (System.nanoTime() - efT0) / 1e9
+      val dlf = Corpus.docLangFacts(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dlfT0 = System.nanoTime()
+      val dlfRows = dlf.count()
+      val dlfSec = (System.nanoTime() - dlfT0) / 1e9
       val fams: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
         "placed" -> (() => Corpus.placedEdges(spark, sfDir)),
         "contains" -> (() => Corpus.containsFrom(lf)),
         "of_type" -> (() => Corpus.ofTypeEdges(spark, sfDir)),
-        "performed" -> (() => Corpus.performedEdges(spark, sfDir)),
+        "performed" -> (() => Corpus.performedFrom(ef)),
         "written_in" -> (() => Corpus.writtenInEdges(spark, sfDir)),
         "from_source" -> (() => Corpus.fromSourceEdges(spark, sfDir)),
         "fulfills" -> (() => Corpus.fulfillsFrom(lf)),
@@ -110,14 +124,17 @@ object Bench {
         "variant_of" -> (() => Corpus.variantOfEdges(spark, sfDir)),
         "bundle_with" -> (() => Corpus.bundleWithFrom(lf)),
         "regulates" -> (() => Corpus.regulatesFrom(fb)),
-        "prefers" -> (() => Corpus.prefersEdges(spark, sfDir)),
+        "prefers" -> (() => Corpus.prefersFrom(ef)),
         "bought_from" -> (() => Corpus.boughtFromFrom(lf)),
         "representative_order" ->
           (() => Corpus.representativeOrderEdges(spark, sfDir)),
         "charged_with" -> (() => Corpus.chargedWithFrom(lf)),
-        "dominant_lang" -> (() => Corpus.dominantLangEdges(spark, sfDir)),
+        "dominant_lang" -> (() => Corpus.dominantLangFrom(dlf)),
         "handles" -> (() => Corpus.handlesFrom(lf)))
-      val timed = ("lineFacts_shared" -> (lfSec, lfRows)) +: fams.map {
+      val timed = Seq(
+        "lineFacts_shared" -> (lfSec, lfRows),
+        "eventFacts_shared" -> (efSec, efRows),
+        "docLangFacts_shared" -> (dlfSec, dlfRows)) ++ fams.map {
         case (name, f) =>
           val t0 = System.nanoTime()
           val n = f().count()

@@ -199,6 +199,19 @@ object Pipeline {
       .map(n => Corpus.table(spark, sfDir, n))
       .filter(_.queryExecution.optimizedPlan.stats.sizeInBytes <= dimPersistCap)
       .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Shared fact-grain aggregates (same discipline as lineFacts below,
+    // applied to the OTHER two fact-shaped inputs): eventFacts is the
+    // (user, event_type) grain of the event stream — four families
+    // (user/event-type nodes, performed/prefers edges) are marginal
+    // rollups over it, so the stream is scanned and shuffled once, not
+    // four times; docLangFacts likewise feeds language/source nodes +
+    // dominant_lang. Both are persisted lazily (a resumed run never
+    // materializes them) and are far smaller than their fact inputs
+    // (vocabulary × entity grain), so the persist never needs gating.
+    val eventFacts = Corpus.eventFacts(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docLangFacts = Corpus.docLangFacts(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = GraphStore.getOrCompute(spark, storeBase, "nodes",
         partitionByCols = Seq("bucket"), inputFp = fpNodes, lineageAsync = true) {
       // Multi-adapter node merge (reference: one adapter per source —
@@ -216,10 +229,10 @@ object Pipeline {
         Corpus.orderNodes(spark, sfDir),
         Corpus.documentNodes(spark, sfDir),
         Corpus.ptypeNodes(spark, sfDir),
-        Corpus.userNodes(spark, sfDir),
-        Corpus.eventTypeNodes(spark, sfDir),
-        Corpus.languageNodes(spark, sfDir),
-        Corpus.sourceNodes(spark, sfDir),
+        Corpus.userNodesFrom(eventFacts),
+        Corpus.eventTypeNodesFrom(eventFacts),
+        Corpus.languageNodesFrom(docLangFacts),
+        Corpus.sourceNodesFrom(docLangFacts),
         Corpus.supplierNodes(spark, sfDir),
         Corpus.regionNodes(spark, sfDir),
         Corpus.brandNodes(spark, sfDir),
@@ -317,7 +330,7 @@ object Pipeline {
         props(Corpus.placedEdges(spark, sfDir), "year"),
         props(Corpus.containsFrom(lineFacts), "quantity", "extendedprice"),
         props(Corpus.ofTypeEdges(spark, sfDir)),
-        props(Corpus.performedEdges(spark, sfDir), "n_events", "value_milli"),
+        props(Corpus.performedFrom(eventFacts), "n_events", "value_milli"),
         props(Corpus.writtenInEdges(spark, sfDir)),
         props(Corpus.fromSourceEdges(spark, sfDir)),
         props(Corpus.fulfillsFrom(lineFacts), "n_lines", "qty_milli"),
@@ -348,11 +361,11 @@ object Pipeline {
         props(Corpus.variantOfEdges(spark, sfDir), "family"),
         props(Await.result(bundleWithF, Duration.Inf), "n_common", "lift_milli"),
         props(Await.result(regulatesF, Duration.Inf), "mode", "lift_milli"),
-        props(Corpus.prefersEdges(spark, sfDir), "n_events", "share_milli"),
+        props(Corpus.prefersFrom(eventFacts), "n_events", "share_milli"),
         props(Corpus.boughtFromFrom(lineFacts), "n_orders", "days_span"),
         props(Corpus.representativeOrderEdges(spark, sfDir), "totalprice_milli"),
         props(Corpus.chargedWithFrom(lineFacts), "n_items", "revenue_milli"),
-        props(Corpus.dominantLangEdges(spark, sfDir), "n_docs", "share_milli"),
+        props(Corpus.dominantLangFrom(docLangFacts), "n_docs", "share_milli"),
         props(Corpus.handlesFrom(lineFacts), "n_parts", "brands"))
       val ids = nodes.select(col("id"))
       (fused +: rest)
@@ -364,6 +377,8 @@ object Pipeline {
     mark("edges")
     lineFacts.unpersist(false)
     followedBy.unpersist(false)
+    eventFacts.unpersist(false)
+    docLangFacts.unpersist(false)
     hotTables.foreach(_.unpersist(false))
 
     Await.result(triplesF, Duration.Inf)

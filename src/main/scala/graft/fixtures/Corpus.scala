@@ -508,16 +508,38 @@ object Corpus {
     declared.unionByName(families)
   }
 
+  /** Shared (user, event_type)-grained aggregate of the event stream —
+    * the events-side analogue of [[lineFacts]]: `events` is the second
+    * fact-shaped input (at web scale it dwarfs every dimension), and
+    * FOUR families reduce this same grain — [[performedFrom]] and
+    * [[prefersFrom]] (edges), [[userNodesFrom]] and
+    * [[eventTypeNodesFrom]] (nodes). The pipeline materializes it once
+    * and derives the families as marginal rollups, so the event stream
+    * is scanned and shuffled ONE time instead of four. Per-row value
+    * integerization happens here, before any sum, so every downstream
+    * re-aggregation is exact integer math (order-independent). */
+  def eventFacts(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000 + 0.5).cast("long")).as("value_milli"))
+
   /** User nodes (USER:k) aggregated from the event stream, with int
     * n_events, int micro-unit activity value (per-row integerization
     * BEFORE the sum keeps the prop summation-order-independent) and a
     * derived bool. */
   def userNodes(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
-      .groupBy(col("user_id"))
+    userNodesFrom(eventFacts(spark, sfDir))
+
+  /** [[userNodes]] over a shared [[eventFacts]] frame: integer sums of
+    * the (user, event_type) partials — associative, so bit-identical
+    * to aggregating the raw stream. */
+  def userNodesFrom(ef: DataFrame): DataFrame =
+    ef.groupBy(col("user_id"))
       .agg(
-        count(lit(1)).as("n_events"),
-        sum(floor(col("value") * 1000 + 0.5).cast("long")).as("value_milli"))
+        sum(col("n_events")).as("n_events"),
+        sum(col("value_milli")).as("value_milli"))
       .select(
         concat(lit("USER:"), col("user_id")).as("id"),
         lit("user").as("label"),
@@ -529,16 +551,32 @@ object Corpus {
 
   /** Event-type vocabulary nodes (EVT:name). */
   def eventTypeNodes(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events").select(col("event_type")).distinct()
+    eventTypeNodesFrom(eventFacts(spark, sfDir))
+
+  /** [[eventTypeNodes]] over a shared [[eventFacts]] frame. */
+  def eventTypeNodesFrom(ef: DataFrame): DataFrame =
+    ef.select(col("event_type")).distinct()
       .select(
         concat(lit("EVT:"), col("event_type")).as("id"),
         lit("event_type").as("label"),
         map(lit("name"), col("event_type")).as("props"))
 
+  /** Shared (source, lang)-grained count over the document corpus:
+    * [[dominantLangFrom]] (edge), [[languageNodesFrom]] and
+    * [[sourceNodesFrom]] (nodes) all reduce this grain — the pipeline
+    * materializes it once (same fusion discipline as [[lineFacts]] /
+    * [[eventFacts]], one documents aggregation pass instead of three). */
+  def docLangFacts(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+
   /** Language nodes (LANG:code) with int document counts. */
   def languageNodes(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "documents")
-      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    languageNodesFrom(docLangFacts(spark, sfDir))
+
+  /** [[languageNodes]] over a shared [[docLangFacts]] frame. */
+  def languageNodesFrom(dlf: DataFrame): DataFrame =
+    dlf.groupBy(col("lang")).agg(sum(col("n")).as("n_docs"))
       .select(
         concat(lit("LANG:"), col("lang")).as("id"),
         lit("language").as("label"),
@@ -548,7 +586,11 @@ object Corpus {
 
   /** Document-source vocabulary nodes (SRC:name). */
   def sourceNodes(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "documents").select(col("source")).distinct()
+    sourceNodesFrom(docLangFacts(spark, sfDir))
+
+  /** [[sourceNodes]] over a shared [[docLangFacts]] frame. */
+  def sourceNodesFrom(dlf: DataFrame): DataFrame =
+    dlf.select(col("source")).distinct()
       .select(
         concat(lit("SRC:"), regexp_replace(col("source"), " ", "_")).as("id"),
         lit("source").as("label"),
@@ -570,11 +612,12 @@ object Corpus {
   /** (USER, performed, EVT) edges aggregated per (user, event type):
     * int event count + int micro-unit value sum. */
   def performedEdges(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(floor(col("value") * 1000 + 0.5).cast("long")).as("value_milli"))
+    performedFrom(eventFacts(spark, sfDir))
+
+  /** [[performedEdges]] over a shared [[eventFacts]] frame (the family
+    * IS that grain — a pure projection). */
+  def performedFrom(ef: DataFrame): DataFrame =
+    ef
       .select(
         concat(lit("USER:"), col("user_id")).as("subject_id"),
         lit("performed").as("relation_label"),
@@ -1040,10 +1083,15 @@ object Corpus {
     * side effect with frequency, schema_config.yaml:559-570): an event
     * type a user hits >= 2 times making up >= 25% of their stream;
     * share in integer milli (two-level aggregation + ratio). */
-  def prefersEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val perType = table(spark, sfDir, "events")
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
+  def prefersEdges(spark: SparkSession, sfDir: String): DataFrame =
+    prefersFrom(eventFacts(spark, sfDir))
+
+  /** [[prefersEdges]] over a shared [[eventFacts]] frame: the per-type
+    * counts are the frame's own `n_events`; only the per-user total is
+    * a marginal rollup. */
+  def prefersFrom(ef: DataFrame): DataFrame = {
+    val perType = ef.select(col("user_id"), col("event_type"),
+      col("n_events").as("n"))
     val perUser = perType.groupBy(col("user_id")).agg(sum(col("n")).as("tot"))
     perType.join(perUser, Seq("user_id"))
       .withColumn("share_milli",
@@ -1118,10 +1166,13 @@ object Corpus {
     * document source's most common language (ties -> lexicographic
     * min), with the doc count and integer-milli share of the source's
     * corpus (argmax-of-count + ratio-to-total in one pass chain). */
-  def dominantLangEdges(spark: SparkSession, sfDir: String): DataFrame = {
+  def dominantLangEdges(spark: SparkSession, sfDir: String): DataFrame =
+    dominantLangFrom(docLangFacts(spark, sfDir))
+
+  /** [[dominantLangEdges]] over a shared [[docLangFacts]] frame. */
+  def dominantLangFrom(dlf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perLang = table(spark, sfDir, "documents")
-      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+    val perLang = dlf
     val w = Window.partitionBy(col("source"))
     perLang
       .withColumn("tot", sum(col("n")).over(w))
