@@ -36,9 +36,23 @@ object TaskCounters {
   /** Block until every posted listener event has been delivered, so a
     * snapshot taken after an action covers all of that action's
     * stages. Queries run serially in the bench, so drain + delta =
-    * exact per-query attribution. */
+    * exact per-query attribution.
+    *
+    * NEVER fatal: Spark's `waitUntilEmpty()` throws TimeoutException
+    * after 10 s if the async queues are still lagging (possible right
+    * after a mult=64/128 edges stage posting millions of task events).
+    * A metrics call must not kill a pipeline run nor be misreported as
+    * a query failure — on timeout, warn and proceed; the snapshot then
+    * under-attributes the tail of the window by at most the lag, which
+    * the warning makes visible. */
   def drain(sc: SparkContext): Unit =
-    org.apache.spark.graftshim.busflush.waitUntilEmpty(sc)
+    try org.apache.spark.graftshim.busflush.waitUntilEmpty(sc)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        System.err.println(
+          "[metrics] listener bus still draining after 10s; counter " +
+            "snapshot may under-attribute this window's tail")
+    }
 
   /** Fixed single-threaded calibration probe (~1 s nominal on an idle
     * host): a deterministic xorshift integer mix whose wall time is a

@@ -68,8 +68,9 @@ object CoreQueries {
       Triples.extract(mentions, Corpus.canonicalIds(s, dir))
     }),
     // §2.11 driver-visible: the SAME flagship triple set built by the
-    // STREAMING path — pages fed through a memory source in micro-
-    // batches (the test double for a Kafka/file readStream at scale),
+    // STREAMING path — pages arriving through a real FILE SOURCE in
+    // micro-batches (`maxFilesPerTrigger=1`, the production shape of a
+    // landing-directory ingest; never a corpus-sized driver collect),
     // each batch committing idempotent mention + triple snapshots into
     // the store via foreachBatch; the result is the union of batch
     // snapshots with the read-side distinct the append-only contract
@@ -77,24 +78,23 @@ object CoreQueries {
     // batch is checked by the DRIVER, not just ScalaTest.
     "q_stream_triples" -> ((s, dir) => {
       tune(s)
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val pages = Corpus.pages(s, dir).select(col("url"), col("html"))
-        .as[graft.streaming.RawPage].collect()
       val dict = Corpus.aliasDict(s, dir)
       val canon = Corpus.canonicalIds(s, dir).localCheckpoint(true)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_streamq_" +
         s.sparkContext.applicationId
-      val in = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[graft.streaming.RawPage]
+      val inDir = s"$base/in"
+      // distributed write: the corpus lands as 3 parquet files = 3
+      // micro-batches; the driver never holds a page
+      Corpus.pages(s, dir).select(col("url"), col("html"))
+        .repartition(3).write.mode("overwrite").parquet(inDir)
+      val streamIn = s.readStream.schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
       val q = graft.streaming.StreamOps
-        .triplesIntoStore(in.toDF(), dict, canon, base).start()
+        .triplesIntoStore(streamIn, dict, canon, s"$base/store").start()
       try {
-        val batchSize = math.max(1, pages.length / 3 + 1)
-        pages.grouped(batchSize).foreach { b =>
-          in.addData(b.toSeq); q.processAllAvailable()
-        }
-        graft.store.GraphStore.readAllSnapshots(s, base, "triples_stream")
+        q.processAllAvailable()
+        graft.store.GraphStore
+          .readAllSnapshots(s, s"$base/store", "triples_stream")
           .get.distinct().localCheckpoint(true)
       } finally { // a failed batch must not leak the tmp store
         q.stop()
@@ -110,26 +110,40 @@ object CoreQueries {
     // value-by-value in DuckDB.
     "q_stream_inc_triples" -> ((s, dir) => {
       tune(s)
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val pages = Corpus.pages(s, dir).select(col("url"), col("html"))
-        .as[(String, Array[Byte])].collect()
-        .map { case (u, h) => graft.streaming.KgEvent("page", u, h, null, null) }
-      val aliases = Corpus.partSameNameEdges(s, dir)
-        .as[(String, String)].collect()
-        .map { case (a, b) => graft.streaming.KgEvent("alias", null, null, a, b) }
       val dict = Corpus.aliasDict(s, dir)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_streaminc_" +
         s.sparkContext.applicationId
-      val in = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[graft.streaming.KgEvent]
+      val inDir = s"$base/in"
+      val store = s"$base/store"
+      // The CDC-shaped event log lands as parquet files — pages first,
+      // the cluster-merging aliases in a LATER micro-batch (the worst
+      // case for a stale canonicalization). Batch order is driven by
+      // file modification time, the file source's documented ordering
+      // (latestFirst=false): pages stamped 60 s older than the alias
+      // file. Distributed end to end — no corpus-sized driver collect.
+      Corpus.pages(s, dir)
+        .select(lit("page").as("kind"), col("url"), col("html"),
+          lit(null).cast("string").as("src"), lit(null).cast("string").as("dst"))
+        .repartition(2).write.mode("overwrite").parquet(inDir)
+      val inF = new java.io.File(inDir)
+      val pageTs = System.currentTimeMillis() - 120000L
+      def parts() = inF.listFiles.filter(_.getName.endsWith(".parquet"))
+      parts().foreach(_.setLastModified(pageTs))
+      Corpus.partSameNameEdges(s, dir)
+        .select(lit("alias").as("kind"), lit(null).cast("string").as("url"),
+          lit(null).cast("binary").as("html"),
+          col("src"), col("dst"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      parts().filter(_.lastModified != pageTs)
+        .foreach(_.setLastModified(pageTs + 60000L))
+      val streamIn = s.readStream.schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
       val q = graft.streaming.StreamOps.kgIncrementalIntoStore(
-        in.toDF(), dict,
-        edges => Corpus.canonicalIdsFrom(s, dir, edges), base).start()
+        streamIn, dict,
+        edges => Corpus.canonicalIdsFrom(s, dir, edges), store).start()
       try {
-        in.addData(pages.toSeq); q.processAllAvailable()
-        in.addData(aliases.toSeq); q.processAllAvailable()
-        graft.streaming.StreamOps.resolvedStreamTriples(s, base)
+        q.processAllAvailable()
+        graft.streaming.StreamOps.resolvedStreamTriples(s, store)
           .localCheckpoint(true)
       } finally { // a failed batch must not leak the tmp store
         q.stop()
@@ -302,6 +316,25 @@ object CoreQueries {
       |         string_agg(p.p_name, ', ' ORDER BY l.l_linenumber, p.p_name) AS items
       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       |  GROUP BY l.l_orderkey) i ON i.l_orderkey = o.o_orderkey""".stripMargin
+
+  /** The flagship triple-set oracle, bound ONCE: q_triples (batch),
+    * q_stream_triples (micro-batched) and q_stream_inc_triples
+    * (late-alias corrected) all assert equality against this same
+    * definition — that sharing IS the streamed ≡ batch claim, and a
+    * future change to the flagship semantics cannot silently diverge
+    * one of the three. */
+  private val flagshipTriplesSql =
+    """WITH pc AS (
+      |  SELECT p_partkey,
+      |         'PART:' || replace(min('PARTRAW:' || p_partkey) OVER (PARTITION BY p_name), 'PARTRAW:', '') AS pid
+      |  FROM part)
+      |SELECT DISTINCT 'CUST:' || o.o_custkey AS subject_id,
+      |       'ordered' AS relation_label, pc.pid AS object_id
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN pc ON pc.p_partkey = l.l_partkey
+      |UNION
+      |SELECT DISTINCT 'CUST:' || c.c_custkey, 'located_in', 'NATION:' || c.c_nationkey
+      |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey""".stripMargin
 
   private val mentionsSql =
     """WITH pages AS (SELECT o_orderkey, 'https://ex.org/' || o_orderkey AS url, o_custkey FROM orders)
@@ -549,46 +582,13 @@ object CoreQueries {
       """SELECT 'PARTRAW:' || p_partkey AS member,
         |       min('PARTRAW:' || p_partkey) OVER (PARTITION BY p_name) AS component
         |FROM part""".stripMargin,
-    "q_triples" ->
-      """WITH pc AS (
-        |  SELECT p_partkey,
-        |         'PART:' || replace(min('PARTRAW:' || p_partkey) OVER (PARTITION BY p_name), 'PARTRAW:', '') AS pid
-        |  FROM part)
-        |SELECT DISTINCT 'CUST:' || o.o_custkey AS subject_id,
-        |       'ordered' AS relation_label, pc.pid AS object_id
-        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        |JOIN pc ON pc.p_partkey = l.l_partkey
-        |UNION
-        |SELECT DISTINCT 'CUST:' || c.c_custkey, 'located_in', 'NATION:' || c.c_nationkey
-        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey""".stripMargin,
-    // identical to q_triples by construction: streamed union-distinct
-    // must equal the batch flagship triple set
-    "q_stream_triples" ->
-      """WITH pc AS (
-        |  SELECT p_partkey,
-        |         'PART:' || replace(min('PARTRAW:' || p_partkey) OVER (PARTITION BY p_name), 'PARTRAW:', '') AS pid
-        |  FROM part)
-        |SELECT DISTINCT 'CUST:' || o.o_custkey AS subject_id,
-        |       'ordered' AS relation_label, pc.pid AS object_id
-        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        |JOIN pc ON pc.p_partkey = l.l_partkey
-        |UNION
-        |SELECT DISTINCT 'CUST:' || c.c_custkey, 'located_in', 'NATION:' || c.c_nationkey
-        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey""".stripMargin,
-    // identical to q_triples by construction: the late-alias correction
-    // path must converge to the batch flagship triple set
-    "q_stream_inc_triples" ->
-      """WITH pc AS (
-        |  SELECT p_partkey,
-        |         'PART:' || replace(min('PARTRAW:' || p_partkey) OVER (PARTITION BY p_name), 'PARTRAW:', '') AS pid
-        |  FROM part)
-        |SELECT DISTINCT 'CUST:' || o.o_custkey AS subject_id,
-        |       'ordered' AS relation_label, pc.pid AS object_id
-        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        |JOIN pc ON pc.p_partkey = l.l_partkey
-        |UNION
-        |SELECT DISTINCT 'CUST:' || c.c_custkey, 'located_in', 'NATION:' || c.c_nationkey
-        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q_triples" -> flagshipTriplesSql,
+    // identical to q_triples BY SHARED DEFINITION: streamed
+    // union-distinct must equal the batch flagship triple set
+    "q_stream_triples" -> flagshipTriplesSql,
+    // identical to q_triples BY SHARED DEFINITION: the late-alias
+    // correction path must converge to the batch flagship triple set
+    "q_stream_inc_triples" -> flagshipTriplesSql,
     "q_co_ordered" ->
       """WITH pc AS (
         |  SELECT p_partkey,

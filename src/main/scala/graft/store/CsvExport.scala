@@ -72,9 +72,9 @@ object CsvExport {
     }.mkString(",")
   }
 
-  private def writeTextFile(df: DataFrame, dir: String, name: String,
+  private def writeTextFile(conf: org.apache.hadoop.conf.Configuration,
+                            dir: String, name: String,
                             content: String): Unit = {
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(dir, name)
     val fs = p.getFileSystem(conf)
     val os = fs.create(p, true)
@@ -91,15 +91,15 @@ object CsvExport {
   def writeNodes(nodes: DataFrame, outDir: String): Unit = {
     csvReady(nodes).write.mode("overwrite")
       .partitionBy("label").options(QuoteOpts).csv(outDir)
-    writeTextFile(nodes, outDir, "header.csv",
-      neoHeader(nodes, "label", isEdges = false) + "\n")
+    writeTextFile(nodes.sparkSession.sparkContext.hadoopConfiguration,
+      outDir, "header.csv", neoHeader(nodes, "label", isEdges = false) + "\n")
   }
 
   def writeEdges(edges: DataFrame, outDir: String): Unit = {
     csvReady(edges).write.mode("overwrite")
       .partitionBy("relation_label").options(QuoteOpts).csv(outDir)
-    writeTextFile(edges, outDir, "header.csv",
-      neoHeader(edges, "relation_label", isEdges = true) + "\n")
+    writeTextFile(edges.sparkSession.sparkContext.hadoopConfiguration,
+      outDir, "header.csv", neoHeader(edges, "relation_label", isEdges = true) + "\n")
   }
 
   /** The terminal import-call artifact — the reference's
@@ -144,10 +144,7 @@ object CsvExport {
       script ++= s"""  --relationships=$l="$edgesDir/header.csv,$edgesDir/relation_label=$l/part-.*\\.csv" \\\n"""
     }
     script ++= s"  --overwrite-destination=true\n"
-    val outPath = new org.apache.hadoop.fs.Path(nodesDir, "neo4j-admin-import-call.sh")
-    val fs = outPath.getFileSystem(conf)
-    val os = fs.create(outPath, true)
-    try os.write(script.toString.getBytes("UTF-8")) finally os.close()
+    writeTextFile(conf, nodesDir, "neo4j-admin-import-call.sh", script.toString)
     (nodeLabels, edgeLabels)
   }
 }

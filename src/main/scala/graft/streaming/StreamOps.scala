@@ -219,6 +219,10 @@ object StreamOps {
                 .readAllSnapshots(spark, storeBase, "triples_corrections")
                 .map(committed.unionByName(_)).getOrElse(committed)
               val m = broadcast(rw)
+              // checkpoint BEFORE the isEmpty probe (same pattern as
+              // `rewrites` above): the probe and the commit would
+              // otherwise each re-scan the full prior triple log —
+              // the most expensive step of the correction path, twice
               val corrected = prior
                 .join(m.select(col("old_id").as("subject_id"),
                   col("new_id").as("s2")), Seq("subject_id"), "left")
@@ -230,6 +234,7 @@ object StreamOps {
                   col("relation_label"),
                   coalesce(col("o2"), col("object_id")).as("object_id"))
                 .distinct()
+                .localCheckpoint(true)
               if (!corrected.isEmpty)
                 GraphStore.commitBatch(spark, storeBase, "triples_corrections",
                   batchId, corrected, inputFp = fp)

@@ -11,6 +11,17 @@ class StoreStreamSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // The streaming tests start foreachBatch/memory-sink queries and
+  // stop them at the END of the test body — so a failed batch or
+  // assertion would leak a live query into the suite-shared session
+  // and poison every later test in this JVM. Suite-level guarantee:
+  // whatever a test leaves running is stopped here.
+  override def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    try super.withFixture(test)
+    finally spark.streams.active.foreach { q =>
+      try q.stop() catch { case _: Throwable => () }
+    }
+
   test("store: commit + readLatest round trip, lineage rows present") {
     val base = Files.createTempDirectory("gs_").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")

@@ -26,11 +26,16 @@ JOPTS="--add-exports java.base/sun.nio.ch=ALL-UNNAMED \
  --add-opens java.base/sun.security.action=ALL-UNNAMED"
 
 one() { # cpus mult ponly rep cp tag
-  echo "=== tag=$6 cpus=$1 mult=$2 ponly=$3 rep=$4 $(date -u +%H:%M:%S) ===" | tee -a "$LOG" >> "$OUT"
+  # $OUT stays machine-parseable line-delimited JSON: the run context
+  # is injected INTO each JSON object (not as separator lines), and
+  # stderr goes to $LOG — Bench's "[bench] FAILED <query>" traces must
+  # never be discarded (a bare -1.0 sentinel is unexplainable).
+  echo "=== tag=$6 cpus=$1 mult=$2 ponly=$3 rep=$4 $(date -u +%H:%M:%S) ===" >> "$LOG"
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=$1 \
   SPARK_GRAFT_MULT=$2 SPARK_GRAFT_PIPELINE_ONLY=$3 SPARK_GRAFT_REPS=3 \
-    java -Xmx16g $JOPTS -cp "$5" graft.Bench 2>/dev/null \
-    | tee -a "$LOG" | grep '"metric"' >> "$OUT"
+    java -Xmx16g $JOPTS -cp "$5" graft.Bench 2>>"$LOG" \
+    | tee -a "$LOG" | grep '"metric"' \
+    | sed "s/^{/{\"tag\":\"$6\",\"rep\":$4,/" >> "$OUT"
 }
 
 # 1) full headline bench (new self-attributing JSON)
@@ -53,4 +58,4 @@ done
 one 2 128 1 1 "$NEWCP" head_x128 || true
 one 8 128 1 1 "$NEWCP" head_x128 || true
 
-echo "CAMPAIGN DONE $(date -u +%H:%M:%S)" | tee -a "$LOG" >> "$OUT"
+echo "CAMPAIGN DONE $(date -u +%H:%M:%S)" >> "$LOG"
