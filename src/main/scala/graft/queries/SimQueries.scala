@@ -51,6 +51,15 @@ object SimQueries {
       // integer outputs only (sim column would be float-eps fragile)
       Knn.cosineNearDupPairs(emb(s, dir), tau = 0.30).select("id1", "id2")
     }),
+    // The SCALE path for the same operation: SRP-bucketed candidate
+    // pairs + exact cosine verify — never an all-pairs join. Fully
+    // oracle-checked (bucketing, cap, and verify arithmetic reproduced
+    // in DuckDB); recall vs the exact baseline is spec-asserted.
+    "q_cosine_neardup_lsh" -> ((s, dir) => {
+      tune(s)
+      Knn.lshNearDupPairs(emb(s, dir), dim = 64, tau = 0.30,
+        nPlanes = 6, nTables = 8, maxBucket = 4096)
+    }),
     // S4: embedding scan with validity filter (reference: keep iff
     // count_nonzero(~isnan)==dim, uniprot_adapter.py:384-422).
     "q_embedding_valid" -> ((s, dir) => {
@@ -174,8 +183,39 @@ object SimQueries {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** DuckDB mirror of Knn.lshNearDupPairs: same signature arithmetic
+    * and per-bucket cap as knnLshSql, candidates = within-bucket
+    * unordered collisions, verify = the identical exact-fold cosine
+    * compared to tau. The cap is modeled, not assumed away. */
+  private val cosineNearDupLshSql: String = {
+    val dim = 64; val nPlanes = 6; val nTables = 8; val maxBucket = 4096
+    val tau = "0.30"
+    val sigArms = (0 until nTables).map(t =>
+      s"SELECT vec_id, $t tbl, ${lshSigSql(dim, nPlanes, t)} sig FROM c")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |sigs AS (
+       |  $sigArms),
+       |corp AS (
+       |  SELECT vec_id, tbl, sig FROM (
+       |    SELECT vec_id, tbl, sig,
+       |           row_number() OVER (PARTITION BY tbl, sig ORDER BY vec_id) rn
+       |    FROM sigs) WHERE rn <= $maxBucket),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id id1, b.vec_id id2
+       |  FROM corp a JOIN corp b
+       |    ON b.tbl = a.tbl AND b.sig = a.sig AND a.vec_id < b.vec_id)
+       |SELECT cd.id1, cd.id2
+       |FROM cand cd JOIN c q ON q.vec_id = cd.id1
+       |JOIN c a ON a.vec_id = cd.id2
+       |WHERE ${dotSql("q.e", "a.e", dim)}
+       |      / (sqrt(${dotSql("q.e", "q.e", dim)})
+       |         * sqrt(${dotSql("a.e", "a.e", dim)})) >= $tau""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_knn_lsh" -> knnLshSql,
+    "q_cosine_neardup_lsh" -> cosineNearDupLshSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_cosine" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),

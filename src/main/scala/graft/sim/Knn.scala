@@ -177,4 +177,52 @@ object Knn {
       .filter(col("sim") >= tau)
       .select("id1", "id2", "sim")
   }
+
+  /** LSH-bucketed embedding near-duplicate PAIRS — the scale path for
+    * [[cosineNearDupPairs]], same shape as the MinHash-LSH text path
+    * (candidates from bucket collisions, exact verification inline).
+    * Candidate pairs are the unordered (id1 < id2) collisions within
+    * any (table, SRP-signature) bucket after the deterministic
+    * per-bucket cap (row_number by id, drops logged — the guard that
+    * keeps a pathological hub bucket from going quadratic); each
+    * candidate is then scored with the SAME double arithmetic as the
+    * brute-force path and kept iff cosine >= tau. PRECISION is
+    * therefore exact (every emitted pair is a true near-dup pair);
+    * recall is the usual LSH function of tau/nPlanes/nTables
+    * (spec-asserted on the fixture). Never an all-pairs join: work is
+    * bounded by sum of capped-bucket-size², corpus-shuffle keys are
+    * the 8-byte (tbl, sig) pair. */
+  def lshNearDupPairs(corpus: DataFrame, dim: Int, tau: Double,
+                      nPlanes: Int = 6, nTables: Int = 8,
+                      maxBucket: Int = 4096): DataFrame = {
+    val sigArr = array((0 until nTables).map(t =>
+      struct(lit(t).as("tbl"),
+        srpSignature(col("emb"), nPlanes, t).as("sig"))): _*)
+    // ONE persisted pass: signatures + per-bucket rank feed the drop
+    // count, and both sides of the within-bucket pair join.
+    val wB = Window.partitionBy("tbl", "sig").orderBy(col("id"))
+    val ranked = corpus
+      .select(col("id"), explode(sigArr).as("ts"))
+      .select(col("id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+      .withColumn("rn", row_number().over(wB))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDropped = ranked.filter(col("rn") > maxBucket).count()
+    if (nDropped > 0)
+      println(s"[lshNearDupPairs] dropped $nDropped bucket members over cap=$maxBucket")
+    val capped = ranked.filter(col("rn") <= maxBucket)
+    val cand = capped.select(col("tbl"), col("sig"), col("id").as("id1"))
+      .join(capped.select(col("tbl"), col("sig"), col("id").as("id2")),
+        Seq("tbl", "sig"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct() // a pair colliding in several tables verifies once
+      .localCheckpoint(true)
+    ranked.unpersist(false)
+    val nrm = corpus.select(col("id"), col("emb"), norm(col("emb")).as("n"))
+    cand
+      .join(nrm.select(col("id").as("id1"), col("emb").as("e1"), col("n").as("n1")), "id1")
+      .join(nrm.select(col("id").as("id2"), col("emb").as("e2"), col("n").as("n2")), "id2")
+      .filter(dot(col("e1"), col("e2")) / (col("n1") * col("n2")) >= tau)
+      .select("id1", "id2")
+  }
 }

@@ -105,6 +105,22 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"multi-table+probe LSH recall: $recall")
   }
 
+  test("LSH near-dup pairs: exact precision (subset of brute force) and recall on the 64-dim fixture") {
+    val corpus = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val brute = Knn.cosineNearDupPairs(corpus, tau = 0.30)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = Knn.lshNearDupPairs(corpus, dim = 64, tau = 0.30)
+      .as[(Long, Long)].collect().toSet
+    // precision is EXACT by construction: every candidate is verified
+    // with the same cosine arithmetic as the brute-force path
+    assert(lsh.subsetOf(brute), "LSH near-dup emitted a non-near-dup pair")
+    assert(brute.nonEmpty && lsh.nonEmpty)
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    info(s"LSH near-dup recall at tau=0.30: $recall (${lsh.size}/${brute.size})")
+    assert(recall >= 0.5, s"LSH near-dup recall at tau=0.30: $recall")
+  }
+
   test("IVF knn recall >= 0.8 vs brute force on the 64-dim fixture") {
     val corpus = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
