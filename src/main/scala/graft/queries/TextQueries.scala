@@ -37,6 +37,16 @@ object TextQueries {
         TextOps.meanTokenLenMilli(t).as("mean_len_milli"),
         TextOps.stopRatio(t, TextOps.langStopwords("en")).as("stop_ratio"))
     }),
+    // Token counting both ways the brief's pipeline needs: whitespace
+    // (document stats) and BPE-ish regex pre-tokens (LLM token-budget
+    // estimation) — the same RE2-safe pattern runs in both engines.
+    "q_doc_tokens" -> ((s, dir) => {
+      tune(s)
+      docs(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("ws_tokens"),
+        TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+    }),
     "q_doc_langid" -> ((s, dir) => {
       tune(s)
       docs(s, dir).select(col("doc_id"),
@@ -178,6 +188,12 @@ object TextQueries {
          |       / len($tokSql)) AS BIGINT) mean_len_milli,
          |  CAST(len(list_filter($tokSql, t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
          |       / len($tokSql) stop_ratio
+         |FROM documents""".stripMargin,
+    "q_doc_tokens" ->
+      s"""SELECT doc_id,
+         |  len($tokSql) ws_tokens,
+         |  len(regexp_extract_all(text,
+         |      '${graft.textops.TextOps.BpeishPattern.replace("'", "''")}')) bpeish_tokens
          |FROM documents""".stripMargin,
     "q_doc_langid" ->
       s"""WITH h AS (SELECT doc_id,

@@ -38,6 +38,25 @@ object TextOps {
   def stopwordCount(toks: Column, stopwords: Seq[String]): Column =
     size(filter(toks, t => array_contains(typedlit(stopwords), t)))
 
+  /** BPE-ish pre-tokenizer pattern (the GPT-2-style pre-split:
+    * contraction suffixes, optionally-space-prefixed letter runs,
+    * digit runs, punctuation runs, residual whitespace). Deliberately
+    * RE2-compatible — no lookahead — so the IDENTICAL pattern runs in
+    * DuckDB for the oracle; both engines use leftmost-first
+    * alternation. The merge table of a real BPE is a model artifact;
+    * counting PRE-tokens approximates LLM token counts far better
+    * than whitespace counting on punctuation-dense text. */
+  val BpeishPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish pre-token pieces, e.g. "Don't count 123!" ->
+    * ["Don", "'t", " count", " 123", "!"]. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
+  /** LLM-style token count: number of BPE-ish pre-token pieces. */
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
   /** Mean token length ×1000, as integer (cross-engine exact). */
   def meanTokenLenMilli(toks: Column): Column =
     floor(aggregate(toks, lit(0L), (acc, t) => acc + length(t)) * 1000

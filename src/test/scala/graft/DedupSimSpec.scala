@@ -188,6 +188,15 @@ class DedupSimSpec extends AnyFunSuite {
     assert(r == 21807L) // matches DuckDB list_reduce oracle formula
   }
 
+  test("bpeish pre-tokenizer golden: contractions, digit runs, punctuation runs") {
+    val got = Seq(Tuple1("Don't count 123 tokens, ok?!")).toDF("text")
+      .select(TextOps.bpeishTokens(col("text"))).as[Seq[String]].head()
+    assert(got == Seq("Don", "'t", " count", " 123", " tokens", ",", " ok", "?!"))
+    val empty = Seq(Tuple1("")).toDF("text")
+      .select(TextOps.bpeishTokenCount(col("text"))).as[Int].head()
+    assert(empty == 0)
+  }
+
   test("langid picks the language with most stopword hits") {
     val cases = Seq(
       ("the cat and the dog is here", "en"),
