@@ -50,6 +50,71 @@ object Multimodal {
       }
   }
 
+  final case class MediaResized(doc_id: Long, kind: String,
+      width: Int, height: Int, media: Array[Byte])
+
+  /** STUB resize: deterministic byte decimation to at most
+    * targetW*targetH bytes (stride = ceil(n/cap)); a real
+    * implementation would decode, scale, re-encode. The Spark-side
+    * contract is the real thing: binary in, binary out, new metadata,
+    * one batch call per partition. */
+  def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val cap = targetW * targetH
+    if (bytes.length <= cap) bytes
+    else {
+      val stride = (bytes.length + cap - 1) / cap
+      val out = new Array[Byte]((bytes.length + stride - 1) / stride)
+      var i = 0; var j = 0
+      while (i < bytes.length) { out(j) = bytes(i); j += 1; i += stride }
+      out
+    }
+  }
+
+  /** Resize over partition batches (same shape as [[extractFeatures]]).
+    * Input df needs (doc_id, media binary, kind). */
+  def resize(df: DataFrame, targetW: Int, targetH: Int): Dataset[MediaResized] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("media"), col("kind")).as[MediaRow]
+      .mapPartitions { batch =>
+        batch.map { row =>
+          MediaResized(row.doc_id, row.kind, targetW, targetH,
+            resizeStub(row.media, targetW, targetH))
+        }
+      }
+  }
+
+  final case class MediaFrame(doc_id: Long, frame_idx: Long,
+      n_bytes: Int, frame: Array[Byte])
+
+  /** Frame sampling: the one-row-to-many-rows batch shape of a video
+    * pipeline. The stub's "frames" are consecutive `frameSize`-byte
+    * slices (a real implementation would drive the codec's keyframe
+    * iterator); every `everyNth`-th frame is kept, at most `maxFrames`
+    * per input row — output per row is BOUNDED by construction, the
+    * cap discipline every explode-shaped operator here follows (a
+    * pathological 10-hour video cannot blow up a task). Arithmetic is
+    * integer-only, so the sampled (doc_id, frame_idx, n_bytes) set is
+    * fully oracle-checkable. */
+  def sampleFrames(df: DataFrame, frameSize: Int = 16, everyNth: Int = 4,
+                   maxFrames: Int = 8): Dataset[MediaFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("media"), col("kind")).as[MediaRow]
+      .mapPartitions { batch =>
+        batch.flatMap { row =>
+          val n = row.media.length
+          val nFrames = (n + frameSize - 1) / frameSize
+          Iterator.range(0, nFrames, everyNth).take(maxFrames).map { idx =>
+            val start = idx * frameSize
+            val len = math.min(frameSize, n - start)
+            MediaFrame(row.doc_id, idx.toLong, len,
+              java.util.Arrays.copyOfRange(row.media, start, start + len))
+          }
+        }
+      }
+  }
+
   /** Synthesize a media table from the documents table (binary payload
     * = UTF-8 bytes of the text; deterministic, no external data). */
   def mediaFromDocuments(docs: DataFrame): DataFrame =

@@ -382,6 +382,18 @@ object RelationalQueries {
           Corpus.table(s, dir, "documents")))
         .toDF()
         .select(col("doc_id"), col("kind"), col("width"), col("height"), col("n_bytes"))
+    }),
+    // Frame sampling over the video rows: the one-row-to-many-rows
+    // (bounded) batch shape; integer-only arithmetic, so the sampled
+    // (doc_id, frame_idx, n_bytes) set is fully oracle-checked.
+    "q_media_frames" -> ((s, dir) => {
+      tune(s)
+      graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.mediaFromDocuments(
+          Corpus.table(s, dir, "documents"))
+          .filter(col("kind") === "video"))
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("n_bytes"))
     })
   )
 
@@ -677,6 +689,24 @@ object RelationalQueries {
         |  CAST(64 + ((strlen(text)*31) % 431) AS INT) height,
         |  CAST(strlen(text) AS INT) n_bytes
         |FROM documents""".stripMargin,
+    // mirrors Multimodal.sampleFrames(frameSize=16, everyNth=4,
+    // maxFrames=8) over the video third of the media table; fixture
+    // text is ASCII so strlen == media byte length (same convention as
+    // q_media_features above)
+    "q_media_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, strlen(text) n FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, n,
+        |         unnest(generate_series(0, CAST(ceil(n / 16.0) AS BIGINT) - 1)) idx
+        |  FROM m),
+        |s AS (
+        |  SELECT doc_id, idx, n,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY idx) rn
+        |  FROM f WHERE idx % 4 = 0)
+        |SELECT doc_id, CAST(idx AS BIGINT) frame_idx,
+        |       CAST(least(16, n - idx*16) AS INT) n_bytes
+        |FROM s WHERE rn <= 8""".stripMargin,
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS "hour",
         |       event_type, count(*) n,

@@ -441,6 +441,44 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(row.getAs[scala.collection.Seq[Float]]("feature").length == 8)
     assert(row.getAs[Int]("n_bytes") > 0)
   }
+
+  test("multimodal: resize caps payloads at target dims, deterministic, small rows untouched") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val r1 = Multimodal.resize(media, 8, 8).toDF()
+    val r2 = Multimodal.resize(media, 8, 8).toDF()
+    assert(r1.exceptAll(r2).isEmpty) // stub is deterministic
+    val rows = r1.select($"doc_id", length($"media").as("n"))
+      .join(media.select($"doc_id", length($"media").as("orig")), "doc_id")
+      .as[(Long, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, orig) =>
+      assert(n <= 64, s"doc $id resized above 8x8 cap: $n")
+      if (orig <= 64) assert(n == orig, s"doc $id small payload was altered")
+    }
+    // golden: 130 bytes at cap 64 -> stride ceil(130/64)=3 -> 44 sampled
+    val g = Multimodal.resizeStub(Array.tabulate(130)(_.toByte), 8, 8)
+    assert(g.length == 44 && g(0) == 0 && g(1) == 3 && g(43) == 129.toByte)
+  }
+
+  test("multimodal: frame sampling is bounded, integer-exact, bytes round-trip") {
+    // golden: 40 bytes, frameSize 16 -> frames 0..2 of len 16,16,8;
+    // everyNth=1 keeps all three, bytes are the exact slices
+    val one = Seq((7L, Array.tabulate(40)(_.toByte), "video"))
+      .toDF("doc_id", "media", "kind")
+    val fs = Multimodal.sampleFrames(one, frameSize = 16, everyNth = 1,
+        maxFrames = 8).collect().sortBy(_.frame_idx)
+    assert(fs.map(f => (f.frame_idx, f.n_bytes)).toSeq ==
+      Seq((0L, 16), (1L, 16), (2L, 8)))
+    assert(fs(1).frame.toSeq == (16 until 32).map(_.toByte))
+    // the per-row cap binds: a "10-hour video" yields exactly maxFrames
+    val big = Seq((8L, Array.tabulate(10000)(_.toByte), "video"))
+      .toDF("doc_id", "media", "kind")
+    val capped = Multimodal.sampleFrames(big, frameSize = 16, everyNth = 4,
+        maxFrames = 8).collect()
+    assert(capped.length == 8 &&
+      capped.map(_.frame_idx).sorted.toSeq == Seq(0L, 4L, 8L, 12L, 16L, 20L, 24L, 28L))
+  }
 }
 
 object Corpus64Util {
