@@ -59,6 +59,7 @@ object Multimodal {
     * contract is the real thing: binary in, binary out, new metadata,
     * one batch call per partition. */
   def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    require(targetW > 0 && targetH > 0, s"target dims must be positive: ${targetW}x$targetH")
     val cap = targetW * targetH
     if (bytes.length <= cap) bytes
     else {
@@ -73,6 +74,8 @@ object Multimodal {
   /** Resize over partition batches (same shape as [[extractFeatures]]).
     * Input df needs (doc_id, media binary, kind). */
   def resize(df: DataFrame, targetW: Int, targetH: Int): Dataset[MediaResized] = {
+    // fail fast at the driver, not inside an executor task
+    require(targetW > 0 && targetH > 0, s"target dims must be positive: ${targetW}x$targetH")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("media"), col("kind")).as[MediaRow]
@@ -98,6 +101,9 @@ object Multimodal {
     * fully oracle-checkable. */
   def sampleFrames(df: DataFrame, frameSize: Int = 16, everyNth: Int = 4,
                    maxFrames: Int = 8): Dataset[MediaFrame] = {
+    // fail fast at the driver, not inside an executor task
+    require(frameSize > 0 && everyNth > 0 && maxFrames >= 0,
+      s"invalid sampling params: frameSize=$frameSize everyNth=$everyNth maxFrames=$maxFrames")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("media"), col("kind")).as[MediaRow]

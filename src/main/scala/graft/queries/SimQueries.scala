@@ -29,7 +29,7 @@ object SimQueries {
     // exact power-of-two division, reproduced verbatim in DuckDB.
     "q_knn_lsh" -> ((s, dir) => {
       tune(s)
-      Knn.lshTopK(emb(s, dir), dim = 64, k = 5,
+      Knn.lshTopK(emb(s, dir), k = 5,
         nPlanes = 6, nTables = 8, maxBucket = 4096, probe = true)
     }),
     // IVF ANN with FIXED deterministic centroids (the "trained offline,
@@ -57,7 +57,7 @@ object SimQueries {
     // in DuckDB); recall vs the exact baseline is spec-asserted.
     "q_cosine_neardup_lsh" -> ((s, dir) => {
       tune(s)
-      Knn.lshNearDupPairs(emb(s, dir), dim = 64, tau = 0.30,
+      Knn.lshNearDupPairs(emb(s, dir), tau = 0.30,
         nPlanes = 6, nTables = 8, maxBucket = 4096)
     }),
     // S4: embedding scan with validity filter (reference: keep iff
@@ -92,24 +92,31 @@ object SimQueries {
     s"list_reduce([0.0] || list_transform(generate_series(1, $dim), " +
       s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
-  private val knnLshSql: String = {
-    val dim = 64; val k = 5; val nPlanes = 6; val nTables = 8; val maxBucket = 4096
+  /** Shared oracle scaffolding for BOTH LSH paths — the embeddings
+    * CTE, the nTables signature arms, and the per-bucket cap (mirror
+    * of Knn.rankedBucketAssignments + cappedCorpusSide). One builder,
+    * so the cap/ordering semantics cannot drift between the two
+    * oracles; the cap is modeled, never assumed away. */
+  private def lshCorpCtes(dim: Int, nPlanes: Int, nTables: Int,
+                          maxBucket: Int): String = {
     val sigArms = (0 until nTables).map(t =>
       s"SELECT vec_id, $t tbl, ${lshSigSql(dim, nPlanes, t)} sig FROM c")
       .mkString("\n  UNION ALL\n  ")
-    val probeList = ("sig" +: (0 until nPlanes).map(j => s"xor(sig, ${1L << j})"))
-      .mkString("[", ", ", "]")
-    // corp mirrors lshTopK's corpus-side per-bucket cap (row_number by
-    // id, keep <= maxBucket) so the oracle models the truncation instead
-    // of silently relying on fixture buckets staying under the cap.
-    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+    s"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
        |sigs AS (
        |  $sigArms),
        |corp AS (
        |  SELECT vec_id, tbl, sig FROM (
        |    SELECT vec_id, tbl, sig,
        |           row_number() OVER (PARTITION BY tbl, sig ORDER BY vec_id) rn
-       |    FROM sigs) WHERE rn <= $maxBucket),
+       |    FROM sigs) WHERE rn <= $maxBucket)""".stripMargin
+  }
+
+  private val knnLshSql: String = {
+    val dim = 64; val k = 5; val nPlanes = 6; val nTables = 8; val maxBucket = 4096
+    val probeList = ("sig" +: (0 until nPlanes).map(j => s"xor(sig, ${1L << j})"))
+      .mkString("[", ", ", "]")
+    s"""WITH ${lshCorpCtes(dim, nPlanes, nTables, maxBucket)},
        |probes AS (
        |  SELECT vec_id, tbl, unnest($probeList) psig FROM sigs),
        |cand AS (
@@ -190,17 +197,7 @@ object SimQueries {
   private val cosineNearDupLshSql: String = {
     val dim = 64; val nPlanes = 6; val nTables = 8; val maxBucket = 4096
     val tau = "0.30"
-    val sigArms = (0 until nTables).map(t =>
-      s"SELECT vec_id, $t tbl, ${lshSigSql(dim, nPlanes, t)} sig FROM c")
-      .mkString("\n  UNION ALL\n  ")
-    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
-       |sigs AS (
-       |  $sigArms),
-       |corp AS (
-       |  SELECT vec_id, tbl, sig FROM (
-       |    SELECT vec_id, tbl, sig,
-       |           row_number() OVER (PARTITION BY tbl, sig ORDER BY vec_id) rn
-       |    FROM sigs) WHERE rn <= $maxBucket),
+    s"""WITH ${lshCorpCtes(dim, nPlanes, nTables, maxBucket)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id id1, b.vec_id id2
        |  FROM corp a JOIN corp b

@@ -102,38 +102,51 @@ object Knn {
     b
   }
 
-  /** LSH-bucketed approximate top-k over `corpus` (id, emb).
-    *
-    * nTables independent SRP tables of nPlanes bits each; candidates
-    * share a (table, signature) bucket, where the QUERY side also
-    * probes its hamming-1 signature neighborhood when `probe` is set.
-    * Oversize buckets are truncated at `maxBucket` members on the
-    * corpus side (deterministic by id; drops logged). Candidates are
-    * then scored exactly (cosine with precomputed norms) and ranked. */
-  def lshTopK(corpus: DataFrame, dim: Int, k: Int,
-              nPlanes: Int = 6, nTables: Int = 8,
-              maxBucket: Int = 4096, probe: Boolean = true): DataFrame = {
-    // One corpus scan: every (table, signature) assignment per row.
+  /** ONE persisted corpus pass shared by both LSH paths: every
+    * (table, signature) assignment per row, with its per-bucket rank
+    * (deterministic by id). The caller unpersists after deriving its
+    * query/corpus sides — the rank lets the drop-count action, the
+    * capped corpus side, and (for topK) the probe query side all share
+    * a single scan + window pass. */
+  private def rankedBucketAssignments(corpus: DataFrame, nPlanes: Int,
+                                      nTables: Int): DataFrame = {
     val sigArr = array((0 until nTables).map(t =>
       struct(lit(t).as("tbl"),
         srpSignature(col("emb"), nPlanes, t).as("sig"))): _*)
-    val sigged = corpus
+    val wB = Window.partitionBy("tbl", "sig").orderBy(col("id"))
+    corpus
       .select(col("id"), explode(sigArr).as("ts"))
       .select(col("id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+      .withColumn("rn", row_number().over(wB))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
-    // Corpus side: deterministic per-bucket cap, drops logged (the
-    // guard that keeps a pathological hub bucket from going quadratic).
-    // Ranked is persisted so the drop-count action and the candidate
-    // join share ONE window pass (sigged being cached only spared the
-    // signature computation, not the window's sort+shuffle).
-    val wB = Window.partitionBy("tbl", "sig").orderBy(col("id"))
-    val ranked = sigged.withColumn("rn", row_number().over(wB))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Deterministic per-bucket cap over a [[rankedBucketAssignments]]
+    * frame, drops logged — the shared guard that keeps a pathological
+    * hub bucket from going quadratic in EITHER LSH path. */
+  private def cappedCorpusSide(ranked: DataFrame, maxBucket: Int,
+                               tag: String): DataFrame = {
     val nDropped = ranked.filter(col("rn") > maxBucket).count()
     if (nDropped > 0)
-      println(s"[lshTopK] dropped $nDropped bucket members over cap=$maxBucket")
-    val corpusSide = ranked.filter(col("rn") <= maxBucket)
+      println(s"[$tag] dropped $nDropped bucket members over cap=$maxBucket")
+    ranked.filter(col("rn") <= maxBucket)
+  }
+
+  /** LSH-bucketed approximate top-k over `corpus` (id, emb).
+    *
+    * nTables independent SRP tables of nPlanes bits each (signature
+    * width = the embedding's runtime length; see [[srpSignature]]);
+    * candidates share a (table, signature) bucket, where the QUERY
+    * side also probes its hamming-1 signature neighborhood when
+    * `probe` is set. Oversize buckets are truncated at `maxBucket`
+    * members on the corpus side (deterministic by id; drops logged).
+    * Candidates are then scored exactly (cosine with precomputed
+    * norms) and ranked. */
+  def lshTopK(corpus: DataFrame, k: Int,
+              nPlanes: Int = 6, nTables: Int = 8,
+              maxBucket: Int = 4096, probe: Boolean = true): DataFrame = {
+    val ranked = rankedBucketAssignments(corpus, nPlanes, nTables)
+    val corpusSide = cappedCorpusSide(ranked, maxBucket, "lshTopK")
       .select(col("tbl"), col("sig"), col("id").as("neighbor_id"))
 
     // Query side: the exact signature plus its nPlanes hamming-1 probes.
@@ -141,12 +154,12 @@ object Knn {
       if (!probe) array(col("sig"))
       else array(col("sig") +:
         (0 until nPlanes).map(j => col("sig").bitwiseXOR(lit(1L << j))): _*)
-    val querySide = sigged
+    val querySide = ranked
       .select(col("id").as("vec_id"), col("tbl"), explode(probeSigs).as("sig"))
 
     // Materialize the deduped candidate pairs, then release the cached
-    // signature table — repeated calls in one session (bench reps) must
-    // not accumulate cached partitions.
+    // assignment table — repeated calls in one session (bench reps)
+    // must not accumulate cached partitions.
     val cand = querySide
       .join(corpusSide, Seq("tbl", "sig"))
       .filter(col("vec_id") =!= col("neighbor_id"))
@@ -154,7 +167,6 @@ object Knn {
       .distinct()
       .localCheckpoint(true)
     ranked.unpersist(false)
-    sigged.unpersist(false)
 
     // Exact scoring of candidates only (same float path as brute force).
     val nrm = corpus.select(col("id"), col("emb"), norm(col("emb")).as("n"))
@@ -192,24 +204,11 @@ object Knn {
     * (spec-asserted on the fixture). Never an all-pairs join: work is
     * bounded by sum of capped-bucket-size², corpus-shuffle keys are
     * the 8-byte (tbl, sig) pair. */
-  def lshNearDupPairs(corpus: DataFrame, dim: Int, tau: Double,
+  def lshNearDupPairs(corpus: DataFrame, tau: Double,
                       nPlanes: Int = 6, nTables: Int = 8,
                       maxBucket: Int = 4096): DataFrame = {
-    val sigArr = array((0 until nTables).map(t =>
-      struct(lit(t).as("tbl"),
-        srpSignature(col("emb"), nPlanes, t).as("sig"))): _*)
-    // ONE persisted pass: signatures + per-bucket rank feed the drop
-    // count, and both sides of the within-bucket pair join.
-    val wB = Window.partitionBy("tbl", "sig").orderBy(col("id"))
-    val ranked = corpus
-      .select(col("id"), explode(sigArr).as("ts"))
-      .select(col("id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
-      .withColumn("rn", row_number().over(wB))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDropped = ranked.filter(col("rn") > maxBucket).count()
-    if (nDropped > 0)
-      println(s"[lshNearDupPairs] dropped $nDropped bucket members over cap=$maxBucket")
-    val capped = ranked.filter(col("rn") <= maxBucket)
+    val ranked = rankedBucketAssignments(corpus, nPlanes, nTables)
+    val capped = cappedCorpusSide(ranked, maxBucket, "lshNearDupPairs")
     val cand = capped.select(col("tbl"), col("sig"), col("id").as("id1"))
       .join(capped.select(col("tbl"), col("sig"), col("id").as("id2")),
         Seq("tbl", "sig"))

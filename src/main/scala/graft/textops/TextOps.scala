@@ -41,13 +41,18 @@ object TextOps {
   /** BPE-ish pre-tokenizer pattern (the GPT-2-style pre-split:
     * contraction suffixes, optionally-space-prefixed letter runs,
     * digit runs, punctuation runs, residual whitespace). Deliberately
-    * RE2-compatible — no lookahead — so the IDENTICAL pattern runs in
-    * DuckDB for the oracle; both engines use leftmost-first
-    * alternation. The merge table of a real BPE is a model artifact;
-    * counting PRE-tokens approximates LLM token counts far better
-    * than whitespace counting on punctuation-dense text. */
+    * engine-identical so the SAME pattern runs in DuckDB for the
+    * oracle: no lookahead (RE2 has none), leftmost-first alternation
+    * in both, and the whitespace class is spelled out explicitly —
+    * Java's \s includes U+000B where RE2's does not, so \s would
+    * diverge on vertical tabs. (Residual caveat, documented: \p{L} /
+    * \p{N} follow each engine's Unicode table version.) The merge
+    * table of a real BPE is a model artifact; counting PRE-tokens
+    * approximates LLM token counts far better than whitespace
+    * counting on punctuation-dense text. */
+  private val Ws = " \\t\\n\\f\\r" // the 5 chars Java and RE2 agree on
   val BpeishPattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    s"'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^$Ws\\p{L}\\p{N}]+|[$Ws]+"
 
   /** BPE-ish pre-token pieces, e.g. "Don't count 123!" ->
     * ["Don", "'t", " count", " 123", "!"]. */

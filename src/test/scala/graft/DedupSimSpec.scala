@@ -98,7 +98,7 @@ class DedupSimSpec extends AnyFunSuite {
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val brute = Knn.bruteForceTopK(corpus, corpus, 5)
       .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val lsh = Knn.lshTopK(corpus, dim = 64, k = 5,
+    val lsh = Knn.lshTopK(corpus, k = 5,
         nPlanes = 6, nTables = 8, maxBucket = 4096, probe = true)
       .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = lsh.intersect(brute).size.toDouble / brute.size
@@ -110,7 +110,7 @@ class DedupSimSpec extends AnyFunSuite {
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val brute = Knn.cosineNearDupPairs(corpus, tau = 0.30)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
-    val lsh = Knn.lshNearDupPairs(corpus, dim = 64, tau = 0.30)
+    val lsh = Knn.lshNearDupPairs(corpus, tau = 0.30)
       .as[(Long, Long)].collect().toSet
     // precision is EXACT by construction: every candidate is verified
     // with the same cosine arithmetic as the brute-force path
@@ -174,7 +174,7 @@ class DedupSimSpec extends AnyFunSuite {
     val corpus = Corpus64.df(spark)
     // cap of 1 leaves at most one corpus-side member per bucket: every
     // query can only ever see the lowest-id member of each bucket
-    val lsh = Knn.lshTopK(corpus, dim = 64, k = 100,
+    val lsh = Knn.lshTopK(corpus, k = 100,
         nPlanes = 2, nTables = 1, maxBucket = 1, probe = false)
       .select("neighbor_id").as[Long].collect().toSet
     // with 2 planes there are at most 4 buckets -> at most 4 distinct
