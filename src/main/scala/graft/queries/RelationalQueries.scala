@@ -383,6 +383,20 @@ object RelationalQueries {
         .toDF()
         .select(col("doc_id"), col("kind"), col("width"), col("height"), col("n_bytes"))
     }),
+    // Resize over the image rows: binary-in/binary-out with new
+    // metadata; the decimation stub's OUTPUT LENGTH is integer-only
+    // (stride = ceil(n/cap), out = ceil(n/stride)), so the resized
+    // payload sizes are fully oracle-checked.
+    "q_media_resize" -> ((s, dir) => {
+      tune(s)
+      graft.multimodal.Multimodal.resize(
+        graft.multimodal.Multimodal.mediaFromDocuments(
+          Corpus.table(s, dir, "documents"))
+          .filter(col("kind") === "image"), 8, 8)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          length(col("media")).cast("int").as("n_out"))
+    }),
     // Frame sampling over the video rows: the one-row-to-many-rows
     // (bounded) batch shape; integer-only arithmetic, so the sampled
     // (doc_id, frame_idx, n_bytes) set is fully oracle-checked.
@@ -689,6 +703,17 @@ object RelationalQueries {
         |  CAST(64 + ((strlen(text)*31) % 431) AS INT) height,
         |  CAST(strlen(text) AS INT) n_bytes
         |FROM documents""".stripMargin,
+    // mirrors Multimodal.resizeStub at cap 8x8=64: payloads <= 64 pass
+    // through (n_out = n); larger ones are decimated to
+    // ceil(n / ceil(n/64)) bytes — pure integer arithmetic
+    "q_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, strlen(text) n FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, CAST(8 AS INT) width, CAST(8 AS INT) height,
+        |       CAST(CASE WHEN n <= 64 THEN n
+        |            ELSE CAST(ceil(n / CAST(ceil(n / 64.0) AS BIGINT)) AS BIGINT)
+        |            END AS INT) n_out
+        |FROM m""".stripMargin,
     // mirrors Multimodal.sampleFrames(frameSize=16, everyNth=4,
     // maxFrames=8) over the video third of the media table; fixture
     // text is ASCII so strlen == media byte length (same convention as
