@@ -141,10 +141,19 @@ object Bench {
           val s = (System.nanoTime() - t0) / 1e9
           name -> (s, n)
       }
-      println("{\"metric\":\"family_times\",\"sf\":\"" + sfDir + "\",\"families\":{" +
+      // v2 semantics marker (ADVICE r5): since the shared-pass fusion,
+      // each family's value is the MARGINAL group-by over a persisted
+      // shared frame, not a standalone rebuild — a reader comparing the
+      // r4 artifact must not read the attribution change as a speedup.
+      println("{\"metric\":\"family_times_v2\"," +
+        "\"semantics\":\"marginal_over_shared_frames\"," +
+        "\"sf\":\"" + sfDir + "\",\"families\":{" +
         timed.map { case (k, (s, n)) =>
           "\"" + k + "\":{\"sec\":" + f"$s%.2f" + ",\"rows\":" + n + "}"
         }.mkString(",") + "}}")
+      // release the shared frames before exit (ADVICE r5: cached blocks
+      // must not outlive the block that owns them)
+      Seq(lf, fb, ef, dlf).foreach(_.unpersist(false))
       spark.stop()
       return
     }
@@ -217,12 +226,47 @@ object Bench {
     // (aggregate store bandwidth scales with executors).
     val tmpBase = if (Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
       java.nio.file.Paths.get("/dev/shm") else null
-    val storeBase = (if (tmpBase != null)
+    def freshStore(): String = (if (tmpBase != null)
       Files.createTempDirectory(tmpBase, "graft_store_")
     else Files.createTempDirectory("graft_store_")).toString
-    val pipe = Pipeline.run(spark, sfDir, storeBase, partitions = cpus, mult = mult)
 
-    val calibEndMs = graft.metrics.TaskCounters.calibrate()
+    // CALIB-GATED headline (VERDICT r5 Next #1): the VM's identical-run
+    // throughput swings up to ~3× between host windows, so a single
+    // pipeline sample published as-is is not comparable across rounds.
+    // Gate: a rep counts as QUIET only if the fixed single-threaded
+    // probe measured immediately before AND after it stays within
+    // `tolerance` of the probe's nominal on this host class (~1.1 s,
+    // env-overridable). Retry up to `maxAttempts` reps (fresh store
+    // each time — a reused store would resume, not recompute), publish
+    // the FIRST quiet rep as `pipeline`, and disclose every discarded
+    // contended rep under `contended_reps`. If no rep is quiet, publish
+    // the least-contended one flagged `all_contended:true`.
+    val calibNominalMs =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_NOMINAL_MS", "1100").toDouble
+    val calibTolerance =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_TOLERANCE", "1.15").toDouble
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_CALIB_RETRIES", "3").toInt
+    final case class PipeRep(pipe: Pipeline.Result, calibPreMs: Double,
+                             calibPostMs: Double) {
+      def worstProbeMs: Double = math.max(calibPreMs, calibPostMs)
+      def quiet: Boolean = worstProbeMs <= calibNominalMs * calibTolerance
+    }
+    val reps0 = scala.collection.mutable.ArrayBuffer.empty[PipeRep]
+    var calibPre = calibMidMs
+    while (reps0.isEmpty || (!reps0.last.quiet && reps0.size < maxAttempts)) {
+      val storeBase = freshStore()
+      val p = Pipeline.run(spark, sfDir, storeBase, partitions = cpus, mult = mult)
+      graft.store.GraphStore.deleteRecursively(java.nio.file.Path.of(storeBase))
+      val calibPost = graft.metrics.TaskCounters.calibrate()
+      reps0 += PipeRep(p, calibPre, calibPost)
+      calibPre = calibPost // nothing runs between probe and next rep
+    }
+    val allContended = !reps0.exists(_.quiet)
+    val chosenRep =
+      if (allContended) reps0.minBy(_.worstProbeMs) else reps0.find(_.quiet).get
+    val contended = reps0.filterNot(_ eq chosenRep)
+    val pipe = chosenRep.pipe
+    val calibEndMs = chosenRep.calibPostMs
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
@@ -242,11 +286,20 @@ object Bench {
         f""""scan_mb":${s.scanMb}%.1f,"rows":${s.rows}}"""
     }.mkString("[", ",", "]")
     val total = results.map(_._2.sec).sum + pipe.seconds
+    val contendedJson = contended.map { r =>
+      f"""{"seconds":${r.pipe.seconds}%.1f,""" +
+        f""""triples_per_sec":${r.pipe.triplesPerSec}%.1f,""" +
+        f""""calib_pre_ms":${r.calibPreMs}%.0f,"calib_post_ms":${r.calibPostMs}%.0f}"""
+    }.mkString("[", ",", "]")
+    val gateJson =
+      f"""{"nominal_ms":$calibNominalMs%.0f,"tolerance":$calibTolerance%.2f,""" +
+        s""""attempts":${reps0.size},"all_contended":$allContended}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""query_counters":$qCounters,""" +
-        f""""calib_ms":{"start":$calibStartMs%.0f,"mid":$calibMidMs%.0f,""" +
+        f""""calib_ms":{"start":$calibStartMs%.0f,"mid":${chosenRep.calibPreMs}%.0f,""" +
         f""""end":$calibEndMs%.0f},""" +
+        s""""calib_gate":$gateJson,"contended_reps":$contendedJson,""" +
         s""""sf":"$sfDir","cpus":$cpus,"mult":$mult,""" +
         s""""pipeline":{"n_pages":${pipe.nPages},""" +
         s""""n_triples":${pipe.nTriples},"n_nodes":${pipe.nNodes},""" +
@@ -254,8 +307,6 @@ object Bench {
         s""""seconds":${pipe.seconds},"triples_per_sec":${pipe.triplesPerSec},""" +
         s""""pages_per_sec":${pipe.pagesPerSec},""" +
         s""""stages":$stages}}""")
-    // free the (possibly tmpfs-backed) store
-    graft.store.GraphStore.deleteRecursively(java.nio.file.Path.of(storeBase))
     spark.stop()
   }
 }

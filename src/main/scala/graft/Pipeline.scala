@@ -75,9 +75,12 @@ object Pipeline {
     var cLast = counters.snapshot
     val marks = scala.collection.mutable.ArrayBuffer.empty[StageMark]
     def mark(stage: String): Unit = {
-      graft.metrics.TaskCounters.drain(spark.sparkContext)
+      // wall clock FIRST: the listener-bus drain (up to its 10 s
+      // timeout) is metrics-collection latency, not stage work — only
+      // the counter snapshot below needs the drained bus (ADVICE r5)
       val now = System.nanoTime()
       val cpuNow = osBean.getProcessCpuTime
+      graft.metrics.TaskCounters.drain(spark.sparkContext)
       val c = counters.snapshot
       val d = c.zip(cLast).map { case (a, b) => a - b }
       println(f"[pipeline] $stage wall=${(now - tLast) / 1e9}%.1fs " +

@@ -117,32 +117,30 @@ object CoreQueries {
       val store = s"$base/store"
       // The CDC-shaped event log lands as parquet files — pages first,
       // the cluster-merging aliases in a LATER micro-batch (the worst
-      // case for a stale canonicalization). Batch order is driven by
-      // file modification time, the file source's documented ordering
-      // (latestFirst=false): pages stamped 60 s older than the alias
-      // file. Distributed end to end — no corpus-sized driver collect.
+      // case for a stale canonicalization). Late arrival is REAL, not
+      // mtime-forged (r5 Wrong #2 — File.setLastModified is racy on
+      // object stores and can silently fail): only the page files exist
+      // when the stream starts; after processAllAvailable has drained
+      // them, the alias file is appended to the live directory and
+      // drained in a second phase — the file source's new-file discovery
+      // IS the ordering. Distributed end to end — no driver collect.
       Corpus.pages(s, dir)
         .select(lit("page").as("kind"), col("url"), col("html"),
           lit(null).cast("string").as("src"), lit(null).cast("string").as("dst"))
         .repartition(2).write.mode("overwrite").parquet(inDir)
-      val inF = new java.io.File(inDir)
-      val pageTs = System.currentTimeMillis() - 120000L
-      def parts() = inF.listFiles.filter(_.getName.endsWith(".parquet"))
-      parts().foreach(_.setLastModified(pageTs))
-      Corpus.partSameNameEdges(s, dir)
-        .select(lit("alias").as("kind"), lit(null).cast("string").as("url"),
-          lit(null).cast("binary").as("html"),
-          col("src"), col("dst"))
-        .coalesce(1).write.mode("append").parquet(inDir)
-      parts().filter(_.lastModified != pageTs)
-        .foreach(_.setLastModified(pageTs + 60000L))
       val streamIn = s.readStream.schema(s.read.parquet(inDir).schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
       val q = graft.streaming.StreamOps.kgIncrementalIntoStore(
         streamIn, dict,
         edges => Corpus.canonicalIdsFrom(s, dir, edges), store).start()
       try {
-        q.processAllAvailable()
+        q.processAllAvailable() // phase 1: all pages under the stale canon
+        Corpus.partSameNameEdges(s, dir)
+          .select(lit("alias").as("kind"), lit(null).cast("string").as("url"),
+            lit(null).cast("binary").as("html"),
+            col("src"), col("dst"))
+          .coalesce(1).write.mode("append").parquet(inDir)
+        q.processAllAvailable() // phase 2: the merging aliases arrive late
         graft.streaming.StreamOps.resolvedStreamTriples(s, store)
           .localCheckpoint(true)
       } finally { // a failed batch must not leak the tmp store

@@ -78,6 +78,53 @@ object TextQueries {
       tune(s)
       DedupOps.simhashNearDupPairs(docsWithDups(s, dir), "doc_id", "text")
     }),
+    // §2.11 driver-visible STREAMING near-dup (VERDICT r5 Next #2): the
+    // SAME dup-injected corpus arriving through a real FILE SOURCE in
+    // micro-batches (maxFilesPerTrigger=1 — members of a near-dup pair
+    // land in DIFFERENT batches), run through the stateful
+    // flatMapGroupsWithState LSH (StreamOps.nearDupStream), each batch's
+    // verified pairs committed as an idempotent store snapshot; the
+    // exact pair set is the union of snapshots with the read-side
+    // distinct (a pair sharing several bands/batches is emitted once
+    // per sharing cell). Oracle: the identical SQL as q_minhash_neardup
+    // — streamed ≡ batch checked by the DRIVER, not just ScalaTest.
+    // maxBucket is raised far above any fixture bucket so the
+    // correctness run exercises zero cap drops (the cap is the
+    // documented scale bound, not a semantics change).
+    "q_stream_neardup" -> ((s, dir) => {
+      tune(s)
+      import s.implicits._
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_streamnd_" +
+        s.sparkContext.applicationId
+      val inDir = s"$base/in"
+      val store = s"$base/store"
+      // distributed write: 3 parquet files = 3 micro-batches; the
+      // driver never holds a document
+      docsWithDups(s, dir).repartition(3).write.mode("overwrite").parquet(inDir)
+      val streamIn = s.readStream.schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .select(col("doc_id").as("_1"), col("text").as("_2"))
+        .as[(Long, String)]
+      val q = graft.streaming.StreamOps
+        .nearDupStream(streamIn, maxBucket = 65536)
+        .toDF().writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.store.GraphStore.commitBatch(
+            s, store, "neardup_stream", batchId, batch,
+            inputFp = s"stream;stage=neardup;batch=$batchId")
+          ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        graft.store.GraphStore.readAllSnapshots(s, store, "neardup_stream")
+          .getOrElse(Seq.empty[(Long, Long, Int, Int, Int)]
+            .toDF("id1", "id2", "common", "size1", "size2"))
+          .distinct().localCheckpoint(true)
+      } finally { // a failed batch must not leak the tmp store
+        q.stop()
+        graft.store.GraphStore.deleteRecursively(java.nio.file.Path.of(base))
+      }
+    }),
     // The dedup family as typed KG edges (KgSchema near_dup_of:
     // document -> document with int overlap props) over the raw table.
     "q_dup_edges" -> ((s, dir) => {
@@ -177,6 +224,11 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_minhash_neardup" -> minhashSql,
+    // identical to q_minhash_neardup BY SHARED DEFINITION: the streamed
+    // stateful-LSH distinct pair set must equal the batch pair set —
+    // the streamed ≡ batch claim is the shared oracle, so the two can
+    // never silently diverge (the q_stream_triples pattern).
+    "q_stream_neardup" -> minhashSql,
     "q_dup_edges" -> dupEdgesSql,
     "q_simhash_neardup" -> simhashSql,
     "q_doc_stats" ->
