@@ -64,6 +64,53 @@ object RelationalQueries {
         min(concat(col("l_returnflag"), col("l_linestatus"))).as(s"m_$i"),
         Aggs.pipeSetUnionAgg(col("l_orderkey").cast("string")).as(s"pm_$i"))
 
+  /** One census over EVERY relationally-derived node/edge family of
+    * the declared schema — (label, n) per-family cardinalities.
+    * Shared by q_graph_census (the driver-visible artifact) and
+    * q_schema_rollup (the is_a lineage rollup over the same counts). */
+  private def censusFrame(s: SparkSession, dir: String): DataFrame = {
+    val canon = Corpus.canonicalIds(s, dir)
+    val nodeFams = Seq(
+      Corpus.supplierNodes(s, dir), Corpus.regionNodes(s, dir),
+      Corpus.brandNodes(s, dir), Corpus.segmentNodes(s, dir),
+      Corpus.documentNodes(s, dir), Corpus.orderNodes(s, dir),
+      Corpus.ptypeNodes(s, dir), Corpus.userNodes(s, dir),
+      Corpus.eventTypeNodes(s, dir), Corpus.languageNodes(s, dir),
+      Corpus.sourceNodes(s, dir))
+      .map(_.select(col("label"), col("id").as("k")))
+    val edgeFams = Seq(
+      Corpus.inRegionEdges(s, dir), Corpus.placedEdges(s, dir),
+      Corpus.inSegmentEdges(s, dir), Corpus.fromNationEdges(s, dir),
+      Corpus.brandedAsEdges(s, dir),
+      Corpus.supplyEdges(s, dir, canon),
+      Corpus.containsEdges(s, dir, canon),
+      Corpus.ratedEdges(s, dir, canon),
+      Corpus.ofTypeEdges(s, dir), Corpus.performedEdges(s, dir),
+      Corpus.writtenInEdges(s, dir), Corpus.fromSourceEdges(s, dir),
+      Corpus.fulfillsEdges(s, dir),
+      // breadth blocks 3 + 4 (round 4)
+      Corpus.sharesPartEdges(s, dir, canon), Corpus.coPurchasedEdges(s, dir),
+      Corpus.citesEdges(s, dir), Corpus.touchedEdges(s, dir),
+      Corpus.peerOfEdges(s, dir), Corpus.nextOrderEdges(s, dir),
+      Corpus.returnedEdges(s, dir, canon), Corpus.shipsToEdges(s, dir),
+      Corpus.similarToEdges(s, dir), Corpus.followedByEdges(s, dir),
+      Corpus.locatedInRegionEdges(s, dir),
+      Corpus.bestSupplierEdges(s, dir, canon),
+      Corpus.closestPartEdges(s, dir),
+      // breadth block 5 (reference 40-edge-type parity)
+      Corpus.inFamilyEdges(s, dir), Corpus.variantOfEdges(s, dir),
+      Corpus.bundleWithEdges(s, dir, canon),
+      Corpus.regulatesEdges(s, dir), Corpus.prefersEdges(s, dir),
+      Corpus.boughtFromEdges(s, dir),
+      Corpus.representativeOrderEdges(s, dir),
+      Corpus.chargedWithEdges(s, dir), Corpus.dominantLangEdges(s, dir),
+      Corpus.handlesEdges(s, dir))
+      .map(_.select(col("relation_label").as("label"),
+        concat(col("subject_id"), lit(">"), col("object_id")).as("k")))
+    (nodeFams ++ edgeFams).reduce(_ unionByName _)
+      .groupBy("label").agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J2 at reference scale: the 6-way full-outer fold with NUMERIC
     // fusion — per-source score columns kept through the chain (the
@@ -185,46 +232,26 @@ object RelationalQueries {
     // q_edges_props; near-dup edges: q_dup_edges).
     "q_graph_census" -> ((s, dir) => {
       tune(s)
-      val canon = Corpus.canonicalIds(s, dir)
-      val nodeFams = Seq(
-        Corpus.supplierNodes(s, dir), Corpus.regionNodes(s, dir),
-        Corpus.brandNodes(s, dir), Corpus.segmentNodes(s, dir),
-        Corpus.documentNodes(s, dir), Corpus.orderNodes(s, dir),
-        Corpus.ptypeNodes(s, dir), Corpus.userNodes(s, dir),
-        Corpus.eventTypeNodes(s, dir), Corpus.languageNodes(s, dir),
-        Corpus.sourceNodes(s, dir))
-        .map(_.select(col("label"), col("id").as("k")))
-      val edgeFams = Seq(
-        Corpus.inRegionEdges(s, dir), Corpus.placedEdges(s, dir),
-        Corpus.inSegmentEdges(s, dir), Corpus.fromNationEdges(s, dir),
-        Corpus.brandedAsEdges(s, dir),
-        Corpus.supplyEdges(s, dir, canon),
-        Corpus.containsEdges(s, dir, canon),
-        Corpus.ratedEdges(s, dir, canon),
-        Corpus.ofTypeEdges(s, dir), Corpus.performedEdges(s, dir),
-        Corpus.writtenInEdges(s, dir), Corpus.fromSourceEdges(s, dir),
-        Corpus.fulfillsEdges(s, dir),
-        // breadth blocks 3 + 4 (round 4)
-        Corpus.sharesPartEdges(s, dir, canon), Corpus.coPurchasedEdges(s, dir),
-        Corpus.citesEdges(s, dir), Corpus.touchedEdges(s, dir),
-        Corpus.peerOfEdges(s, dir), Corpus.nextOrderEdges(s, dir),
-        Corpus.returnedEdges(s, dir, canon), Corpus.shipsToEdges(s, dir),
-        Corpus.similarToEdges(s, dir), Corpus.followedByEdges(s, dir),
-        Corpus.locatedInRegionEdges(s, dir),
-        Corpus.bestSupplierEdges(s, dir, canon),
-        Corpus.closestPartEdges(s, dir),
-        // breadth block 5 (reference 40-edge-type parity)
-        Corpus.inFamilyEdges(s, dir), Corpus.variantOfEdges(s, dir),
-        Corpus.bundleWithEdges(s, dir, canon),
-        Corpus.regulatesEdges(s, dir), Corpus.prefersEdges(s, dir),
-        Corpus.boughtFromEdges(s, dir),
-        Corpus.representativeOrderEdges(s, dir),
-        Corpus.chargedWithEdges(s, dir), Corpus.dominantLangEdges(s, dir),
-        Corpus.handlesEdges(s, dir))
-        .map(_.select(col("relation_label").as("label"),
-          concat(col("subject_id"), lit(">"), col("object_id")).as("k")))
-      (nodeFams ++ edgeFams).reduce(_ unionByName _)
-        .groupBy("label").agg(count(lit(1)).as("n"))
+      censusFrame(s, dir)
+    }),
+    // Schema is_a ROLLUP (VERDICT r5 Missing #1): per-ancestor-type
+    // cardinalities over the store census — the census labels joined
+    // through the declared lineage's ancestors-or-self closure
+    // (KgSchema.lineageClosure, built by the same Hierarchy.ancestors
+    // machinery the ontology operators use; building it IS the
+    // acyclicity check). The mention-derived core entity universes
+    // (product/customer/nation) join the rollup so all 14 node types
+    // participate. Oracle: the closure VALUES are GENERATED from the
+    // same declared lineage (the hashParams pattern).
+    "q_schema_rollup" -> ((s, dir) => {
+      tune(s)
+      val core = Corpus.relationalEntityNodes(s, dir)
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val census = censusFrame(s, dir).unionByName(core)
+      val closure = graft.schema.KgSchema.lineageClosure(s)
+      census.join(broadcast(closure), census("label") === closure("node"))
+        .groupBy(col("ancestor").as("type_label"))
+        .agg(sum(col("n")).as("n"))
     }),
     // Event-stream edges with typed int props (value integerized
     // per-row BEFORE the sum — summation-order-independent).
@@ -411,9 +438,8 @@ object RelationalQueries {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
-    "q_graph_census" ->
-      """WITH pc AS (
+  private val censusSql: String =
+    """WITH pc AS (
         |  SELECT p_partkey, min(p_partkey) OVER (PARTITION BY p_name) AS pid
         |  FROM part),
         |sp AS (
@@ -549,7 +575,30 @@ object RelationalQueries {
         |        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)""".stripMargin
       .replace("__SIMHASH_RAW__",
         graft.queries.TextQueries.simhashSqlOver(
-          "SELECT doc_id, text FROM documents")),
+          "SELECT doc_id, text FROM documents"))
+
+  /** The is_a rollup oracle: the census counts (plus the three core
+    * entity universes) joined through the ancestors-or-self closure
+    * GENERATED from the same declared lineage the engine rolls up with
+    * (KgSchema.lineagePairsWithSelf — the hashParams pattern: one
+    * source of truth feeds both engines). */
+  private val schemaRollupSql: String = {
+    val closureValues = graft.schema.KgSchema.lineagePairsWithSelf
+      .map { case (n, a) => s"('$n','$a')" }.mkString(", ")
+    s"""WITH census AS (
+       |$censusSql
+       |UNION ALL SELECT 'product', CAST(count(DISTINCT p_name) AS BIGINT) FROM part
+       |UNION ALL SELECT 'customer', CAST(count(*) AS BIGINT) FROM customer
+       |UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT) FROM nation),
+       |closure(node, ancestor) AS (VALUES $closureValues)
+       |SELECT cl.ancestor type_label, CAST(sum(c.n) AS BIGINT) n
+       |FROM census c JOIN closure cl ON cl.node = c."label"
+       |GROUP BY 1""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_graph_census" -> censusSql,
+    "q_schema_rollup" -> schemaRollupSql,
     "q_user_events" ->
       """SELECT 'USER:'||user_id subject_id, 'performed' relation_label,
         |       'EVT:'||event_type object_id,

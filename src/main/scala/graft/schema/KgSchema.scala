@@ -22,23 +22,39 @@ object KgSchema {
   case object PStrArr extends PropType
   case object PFloatArr extends PropType
 
+  /** `isA`: the type's inheritance parent in the declared `is_a`
+    * lineage (reference schema_config.yaml:207-215 — every declared
+    * type carries a Biolink inheritance parent), pointing at either
+    * another concrete type or an abstract layer type
+    * ([[abstractNodeTypes]]/[[abstractEdgeTypes]]). `labelInInput`:
+    * the label the type carries in its INPUT/source form (reference
+    * `label_in_input`, schema_config.yaml:56,:82) — defaults to the
+    * output label. */
   final case class NodeType(
       label: String,
       idPrefix: String,              // CURIE prefix constraint
-      props: Map[String, PropType])
+      props: Map[String, PropType],
+      isA: Option[String] = None,
+      labelInInput: Option[String] = None)
 
+  /** `labelAsEdge`: the relationship-type name the edge carries in the
+    * exported graph (reference `label_as_edge`, schema_config.yaml:146
+    * — BioCypher's UPPER_SNAKE Neo4j relationship type); defaults to
+    * the uppercased relation label. */
   final case class EdgeType(
       label: String,
       sourceLabel: String,
       targetLabel: String,
-      props: Map[String, PropType])
+      props: Map[String, PropType],
+      isA: Option[String] = None,
+      labelAsEdge: Option[String] = None)
 
   /** The engine's node types (corpus domain mirrors the reference's
     * typed-node discipline: every id carries its type prefix, scalar
     * props live in `props`, multi-value props in `props_arr`, vectors
     * in the `embedding` column — schema_config.yaml:32 /
     * uniprot_adapter.py:696-838 per-type property projections). */
-  val nodeTypes: Map[String, NodeType] = Map(
+  private val nodeTypes0: Map[String, NodeType] = Map(
     "customer" -> NodeType("customer", "CUST:",
       Map("name" -> PStr, "mktsegment" -> PStr)),
     "product" -> NodeType("product", "PART:",
@@ -77,7 +93,7 @@ object KgSchema {
   /** Edge types with endpoint-label constraints
     * (schema_config.yaml:208-231 pattern). Fused multi-source props
     * mirror the reference's merged edges (ppi_adapter.py:1268-1303). */
-  val edgeTypes: Map[String, EdgeType] = Map(
+  private val edgeTypes0: Map[String, EdgeType] = Map(
     "ordered" -> EdgeType("ordered", "customer", "product",
       Map("sources" -> PStr, "evidence" -> PStr,
         "n_pages" -> PInt, "n_lines" -> PInt)),
@@ -157,6 +173,144 @@ object KgSchema {
       Map("n_docs" -> PInt, "share_milli" -> PInt)),
     "handles" -> EdgeType("handles", "supplier", "ptype",
       Map("n_parts" -> PInt, "brands" -> PStr)))
+
+  // -----------------------------------------------------------------
+  // is_a lineage (reference schema_config.yaml:207-215: every declared
+  // type carries an inheritance parent). Concrete types hang off a
+  // small abstract layer; the lineage is a TREE rooted at named_thing
+  // (nodes) / related_to (edges), so "all agent-descendant nodes" style
+  // rollups have first-class schema support.
+  // -----------------------------------------------------------------
+
+  /** Abstract node-type layer: type -> parent (None = root). */
+  val abstractNodeTypes: Map[String, Option[String]] = Map(
+    "named_thing" -> None,
+    "agent" -> Some("named_thing"),
+    "place" -> Some("named_thing"),
+    "physical_entity" -> Some("named_thing"),
+    "information_content" -> Some("named_thing"),
+    "vocabulary_term" -> Some("named_thing"))
+
+  /** Abstract edge-type (association) layer: type -> parent. */
+  val abstractEdgeTypes: Map[String, Option[String]] = Map(
+    "related_to" -> None,
+    "affiliation" -> Some("related_to"),
+    "transaction" -> Some("related_to"),
+    "similarity" -> Some("related_to"),
+    "categorization" -> Some("related_to"),
+    "succession" -> Some("related_to"))
+
+  private val nodeIsA: Map[String, String] = Map(
+    "customer" -> "agent", "supplier" -> "agent", "user" -> "agent",
+    "nation" -> "place", "region" -> "place",
+    "product" -> "physical_entity",
+    "order" -> "information_content", "document" -> "information_content",
+    "brand" -> "vocabulary_term", "segment" -> "vocabulary_term",
+    "ptype" -> "vocabulary_term", "event_type" -> "vocabulary_term",
+    "language" -> "vocabulary_term", "source" -> "vocabulary_term")
+
+  private val edgeIsA: Map[String, String] = Map(
+    // transaction: actor-moves-goods/value families
+    "ordered" -> "transaction", "placed" -> "transaction",
+    "contains" -> "transaction", "supplies" -> "transaction",
+    "fulfills" -> "transaction", "returned" -> "transaction",
+    "bought_from" -> "transaction", "charged_with" -> "transaction",
+    "rated" -> "transaction", "ships_to" -> "transaction",
+    "performed" -> "transaction", "touched" -> "transaction",
+    "handles" -> "transaction", "best_supplied_by" -> "transaction",
+    "representative_order" -> "transaction",
+    // similarity: content/behaviour closeness families
+    "near_dup_of" -> "similarity", "similar_to" -> "similarity",
+    "closest_to" -> "similarity", "variant_of" -> "similarity",
+    "co_ordered_with" -> "similarity", "co_purchased_with" -> "similarity",
+    "shares_part" -> "similarity", "bundle_with" -> "similarity",
+    // categorization: entity-to-vocabulary families
+    "branded_as" -> "categorization", "in_segment" -> "categorization",
+    "of_type" -> "categorization", "written_in" -> "categorization",
+    "from_source" -> "categorization", "in_family" -> "categorization",
+    "dominant_lang" -> "categorization", "prefers" -> "categorization",
+    // affiliation: entity-to-place/cohort families
+    "located_in" -> "affiliation", "in_region" -> "affiliation",
+    "from_nation" -> "affiliation", "located_in_region" -> "affiliation",
+    "peer_of" -> "affiliation",
+    // succession: ordered-sequence families
+    "next_order" -> "succession", "followed_by" -> "succession",
+    "regulates" -> "succession", "cites" -> "succession")
+
+  /** Input-label duals where the source form differs from the output
+    * label (reference label_in_input); all other types default to
+    * label_in_input == label. */
+  private val nodeInputLabel: Map[String, String] = Map(
+    "product" -> "part",        // relational source table
+    "ptype" -> "part_type",     // derived from part.p_type / p_name
+    "event_type" -> "event")    // derived from the raw event stream
+
+  /** Export-label duals where the relationship type is not the plain
+    * uppercase of the label (reference label_as_edge). */
+  private val edgeAsEdgeLabel: Map[String, String] = Map(
+    "near_dup_of" -> "IS_NEAR_DUPLICATE_OF",
+    "similar_to" -> "IS_SIMILAR_TO",
+    "located_in" -> "LOCATED_IN_NATION")
+
+  /** Node types with the lineage + input-label mapping applied. */
+  val nodeTypes: Map[String, NodeType] = nodeTypes0.map { case (k, nt) =>
+    k -> nt.copy(
+      isA = Some(nodeIsA(k)),
+      labelInInput = Some(nodeInputLabel.getOrElse(k, k)))
+  }
+
+  /** Edge types with the lineage + export-label mapping applied. */
+  val edgeTypes: Map[String, EdgeType] = edgeTypes0.map { case (k, et) =>
+    k -> et.copy(
+      isA = Some(edgeIsA(k)),
+      labelAsEdge = Some(edgeAsEdgeLabel.getOrElse(k, k.toUpperCase)))
+  }
+
+  /** All (child, parent) is_a pairs over the declared type universe —
+    * concrete node/edge types plus the abstract layers. */
+  def lineageEdges: Seq[(String, String)] =
+    (nodeTypes.values.flatMap(nt => nt.isA.map(nt.label -> _)) ++
+      edgeTypes.values.flatMap(et => et.isA.map(et.label -> _)) ++
+      (abstractNodeTypes ++ abstractEdgeTypes).flatMap { case (k, p) =>
+        p.map(k -> _)
+      }).toSeq.sorted
+
+  /** Pure-Scala ancestors-or-self closure of the lineage — the
+    * executable specification of [[lineageClosure]], and the generator
+    * for the q_schema_rollup oracle SQL (the hashParams pattern: the
+    * oracle is generated from the SAME declared values the engine
+    * uses). Throws on a cycle or an undeclared parent. */
+  def lineagePairsWithSelf: Seq[(String, String)] = {
+    val parent = lineageEdges.toMap
+    val declared = nodeTypes.keySet ++ edgeTypes.keySet ++
+      abstractNodeTypes.keySet ++ abstractEdgeTypes.keySet
+    val undeclared = parent.values.toSet -- declared
+    require(undeclared.isEmpty, s"isA targets not declared: $undeclared")
+    declared.toSeq.sorted.flatMap { t =>
+      var chain = List(t)
+      var cur = t
+      while (parent.contains(cur)) {
+        cur = parent(cur)
+        require(!chain.contains(cur), s"is_a cycle through $cur")
+        chain ::= cur
+      }
+      chain.map(t -> _)
+    }
+  }
+
+  /** Distributed ancestors-or-self closure of the declared lineage,
+    * via the same iterative-self-join machinery the ontology operators
+    * use ([[graft.ontology.Hierarchy.ancestors]] — which fails loudly
+    * on a cycle, so building this IS the acyclicity conformance
+    * check). Columns: (node, ancestor); includes (t, t) self pairs. */
+  def lineageClosure(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val edges = lineageEdges.toDF("child", "parent")
+    val self = (nodeTypes.keySet ++ edgeTypes.keySet ++
+      abstractNodeTypes.keySet ++ abstractEdgeTypes.keySet)
+      .toSeq.sorted.map(t => (t, t)).toDF("node", "ancestor")
+    graft.ontology.Hierarchy.ancestors(edges).unionByName(self)
+  }
 
   /** The scalar-prop keys a label may carry in its `props` map. */
   private def scalarKeys(label: String): Seq[String] =
