@@ -410,18 +410,19 @@ object RelationalQueries {
         .toDF()
         .select(col("doc_id"), col("kind"), col("width"), col("height"), col("n_bytes"))
     }),
-    // Resize over the image rows: binary-in/binary-out with new
-    // metadata; the decimation stub's OUTPUT LENGTH is integer-only
-    // (stride = ceil(n/cap), out = ceil(n/stride)), so the resized
-    // payload sizes are fully oracle-checked.
+    // Resize over image + audio rows: binary-in/binary-out with new
+    // metadata. Images take the REAL decode→nearest-neighbor→BMP
+    // re-encode path (output size = 54 + 8*24 exactly); audio takes the
+    // decimation stub (stride = ceil(n/cap), out = ceil(n/stride)) —
+    // both output lengths integer-only, fully oracle-checked.
     "q_media_resize" -> ((s, dir) => {
       tune(s)
       graft.multimodal.Multimodal.resize(
         graft.multimodal.Multimodal.mediaFromDocuments(
           Corpus.table(s, dir, "documents"))
-          .filter(col("kind") === "image"), 8, 8)
+          .filter(col("kind").isin("image", "audio")), 8, 8)
         .toDF()
-        .select(col("doc_id"), col("width"), col("height"),
+        .select(col("doc_id"), col("kind"), col("width"), col("height"),
           length(col("media")).cast("int").as("n_out"))
     }),
     // Frame sampling over the video rows: the one-row-to-many-rows
@@ -744,25 +745,36 @@ object RelationalQueries {
       """SELECT a.p_partkey k1, b.p_partkey k2, a.p_name AS "name"
         |FROM part a JOIN part b
         |  ON a.p_name = b.p_name AND a.p_partkey < b.p_partkey""".stripMargin,
+    // image rows: width/height are the REAL dims ImageIO reads back
+    // from the synthesized BMP (= synthBmpDims(doc_id)), n_bytes the
+    // exact BMP size 54 + h*((3w+3)//4*4); audio/video rows keep the
+    // documented stub arithmetic over the text-byte payload
     "q_media_features" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id%3=0 THEN 'image'
         |       WHEN doc_id%3=1 THEN 'audio' ELSE 'video' END kind,
-        |  CAST(64 + (strlen(text) % 577) AS INT) width,
-        |  CAST(64 + ((strlen(text)*31) % 431) AS INT) height,
-        |  CAST(strlen(text) AS INT) n_bytes
+        |  CAST(CASE WHEN doc_id%3=0 THEN 4 + doc_id%12
+        |       ELSE 64 + (strlen(text) % 577) END AS INT) width,
+        |  CAST(CASE WHEN doc_id%3=0 THEN 4 + (doc_id*7)%10
+        |       ELSE 64 + ((strlen(text)*31) % 431) END AS INT) height,
+        |  CAST(CASE WHEN doc_id%3=0
+        |       THEN 54 + (4 + (doc_id*7)%10) * ((3*(4 + doc_id%12) + 3)//4*4)
+        |       ELSE strlen(text) END AS INT) n_bytes
         |FROM documents""".stripMargin,
-    // mirrors Multimodal.resizeStub at cap 8x8=64: payloads <= 64 pass
-    // through (n_out = n); larger ones are decimated to
+    // image rows re-encode as an 8x8 BMP = exactly 54 + 8*24 = 246
+    // bytes; audio rows mirror Multimodal.resizeStub at cap 8x8=64:
+    // payloads <= 64 pass through (n_out = n); larger ones decimate to
     // ceil(n / ceil(n/64)) bytes — pure integer arithmetic
     "q_media_resize" ->
-      """WITH m AS (
-        |  SELECT doc_id, strlen(text) n FROM documents WHERE doc_id % 3 = 0)
-        |SELECT doc_id, CAST(8 AS INT) width, CAST(8 AS INT) height,
+      """SELECT doc_id, 'image' kind, CAST(8 AS INT) width,
+        |       CAST(8 AS INT) height, CAST(246 AS INT) n_out
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, 'audio', CAST(8 AS INT), CAST(8 AS INT),
         |       CAST(CASE WHEN n <= 64 THEN n
         |            ELSE CAST(ceil(n / CAST(ceil(n / 64.0) AS BIGINT)) AS BIGINT)
-        |            END AS INT) n_out
-        |FROM m""".stripMargin,
+        |            END AS INT)
+        |FROM (SELECT doc_id, strlen(text) n FROM documents WHERE doc_id % 3 = 1)""".stripMargin,
     // mirrors Multimodal.sampleFrames(frameSize=16, everyNth=4,
     // maxFrames=8) over the video third of the media table; fixture
     // text is ASCII so strlen == media byte length (same convention as

@@ -67,6 +67,16 @@ object TextQueries {
       DedupOps.ngramJaccardPairs(docsWithDups(s, dir), "doc_id", "text",
         n = 3, tau = 0.5)
     }),
+    // Substring-level dedup (VERDICT r5 Missing #2): cross-document
+    // repeated 8-token spans over the dup-injected corpus, merged into
+    // maximal (doc_id, span_start, span_len) excision rows — the
+    // injected full-document duplicates surface as whole-doc spans,
+    // organic shared phrases as shorter ones. Integer-only, so DuckDB
+    // rebuilds windows, hot test, and run merge bit-for-bit.
+    "q_span_dedup" -> ((s, dir) => {
+      tune(s)
+      DedupOps.repeatedSpans(docsWithDups(s, dir), "doc_id", "text", k = 8)
+    }),
     // Fully oracle-checked since the hash is a portable polynomial fold
     // (no xxhash64): DuckDB rebuilds signatures, banding, candidates and
     // the exact verification bit-for-bit.
@@ -187,6 +197,34 @@ object TextQueries {
 
   private val minhashSql: String = minhashSqlOver(dupsSql)
 
+  /** DuckDB mirror of DedupOps.repeatedSpans(k) over an arbitrary
+    * (doc_id, text) source CTE: positional rolling windows, the
+    * df>=2-distinct-docs hot test, and the gaps-and-islands run merge —
+    * the rolling fold is GENERATED from the same k the engine uses
+    * (hashParams pattern). */
+  private def spanSqlOver(srcSql: String, k: Int): String = {
+    val rolling = (0 until k).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+      s"(($acc * 8191 + cs[i+$j]) % 2147483647)")
+    s"""WITH d AS (
+       |  $srcSql),
+       |codes AS (SELECT doc_id, ${codesSql(1048573L)} cs FROM d),
+       |pw AS (
+       |  SELECT doc_id, i - 1 AS pos, $rolling code
+       |  FROM (SELECT doc_id, cs, unnest(generate_series(1, len(cs) - ${k - 1})) i
+       |        FROM codes WHERE len(cs) >= $k)),
+       |hot AS (
+       |  SELECT code FROM (SELECT code, count(DISTINCT doc_id) df FROM pw GROUP BY 1)
+       |  WHERE df >= 2),
+       |hp AS (SELECT doc_id, pos FROM pw JOIN hot USING (code)),
+       |runs AS (
+       |  SELECT doc_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) grp
+       |  FROM hp)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) span_start,
+       |       CAST(max(pos) - min(pos) + $k AS BIGINT) span_len
+       |FROM runs GROUP BY doc_id, grp""".stripMargin
+  }
+
   /** near_dup_of edges over the RAW documents table (no injected dups)
     * — the dedup family emitted as first-class typed KG edges. */
   private val dupEdgesSql: String =
@@ -229,6 +267,7 @@ object TextQueries {
     // the streamed ≡ batch claim is the shared oracle, so the two can
     // never silently diverge (the q_stream_triples pattern).
     "q_stream_neardup" -> minhashSql,
+    "q_span_dedup" -> spanSqlOver(dupsSql, 8),
     "q_dup_edges" -> dupEdgesSql,
     "q_simhash_neardup" -> simhashSql,
     "q_doc_stats" ->

@@ -205,6 +205,57 @@ object DedupOps {
     verified.select("id1", "id2", "common", "size1", "size2")
   }
 
+  /** Positional (non-distinct) k-token shingle codes per doc: one row
+    * per window start — (doc_id, pos, code), pos = 0-based token index.
+    * Same per-token char-fold + rolling-poly arithmetic as
+    * [[shingleCodes]], minus the distinct: span detection needs every
+    * occurrence, in order. Map-only (posexplode per row, no shuffle);
+    * the per-window inner fold is O(k) — fine for span-grain k (tens),
+    * and the whole expression stays inside whole-stage codegen. */
+  def positionalShingleCodes(docs: DataFrame, idCol: String,
+                             textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"span shingle width must be >= 1: $k")
+    val windows = TextOps.let(
+      transform(TextOps.tokens(col(textCol)), t => tokenCode(t, CHAR_M)),
+      codes => when(size(codes) >= k,
+        transform(sequence(lit(0), size(codes) - k), i =>
+          (0 until k).foldLeft(lit(0L))((h, j) =>
+            (h * 8191L + element_at(codes, (i + j + 1).cast("int"))) % P)))
+        .otherwise(array().cast("array<long>")))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(windows).as(Seq("pos", "code")))
+  }
+
+  /** Cross-document REPEATED-SPAN detection (substring-level dedup —
+    * the suffix-array family's output shape, built from the bounded
+    * shingle machinery): a k-token window is HOT when its code occurs
+    * in >= 2 DISTINCT documents; per doc, maximal runs of consecutive
+    * hot window starts merge into one excision row
+    * (doc_id, span_start, span_len), token units, span_len =
+    * run_length + k - 1. Integer-only -> DuckDB-checkable bit-for-bit
+    * (code collisions ~2^-31 affect both engines identically).
+    *
+    * Scale: the hot test needs only df >= 2 over DISTINCT (doc, code) —
+    * one shuffle on 8-byte codes with O(1) reducer state (count), never
+    * a posting list; the run merge is one window shuffle on doc_id,
+    * bounded by document length. No unbounded buffer anywhere. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = positionalShingleCodes(docs, idCol, textCol, k)
+    val hot = pos.select(col("doc_id"), col("code")).distinct()
+      .groupBy(col("code")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("code"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // gaps-and-islands: consecutive positions share (pos - row_number)
+    pos.join(hot, Seq("code"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(k)).cast("long").as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+  }
+
   /** Portable 31-bit SimHash per doc: bit b of the signature is the
     * sign of Σ_tokens (±1 per bit b of the token's char-poly hash).
     * Pure column expressions — whole-stage codegen, no typed map, and

@@ -41,6 +41,34 @@ class DedupSimSpec extends AnyFunSuite {
     assert(exact.subsetOf(mh), "recall shortfall vs exact jaccard")
   }
 
+  test("repeatedSpans finds an injected 60-token duplicated span exactly") {
+    // two docs that share ONLY a 60-token span; every other token is
+    // unique to its doc, so no window outside the span can be hot
+    val span = (0 until 60).map(i => s"shared$i").mkString(" ")
+    val d1 = ((0 until 40).map(i => s"a$i") :+ span).++(
+      (40 until 80).map(i => s"a$i")).mkString(" ")
+    val d2 = ((0 until 30).map(i => s"b$i") :+ span).++(
+      (30 until 60).map(i => s"b$i")).mkString(" ")
+    val two = Seq((10L, d1), (20L, d2)).toDF("doc_id", "text")
+    val spans = DedupOps.repeatedSpans(two, "doc_id", "text", k = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 10: span tokens occupy [40, 100); hot window starts 40..80
+    // doc 20: span tokens occupy [30, 90); hot window starts 30..70
+    assert(spans == Set((10L, 40L, 60L), (20L, 30L, 60L)))
+  }
+
+  test("repeatedSpans: no cross-doc repeat -> no spans; whole-doc dup -> whole-doc span") {
+    val uniq = Seq(
+      (1L, (0 until 30).map(i => s"x$i").mkString(" ")),
+      (2L, (0 until 30).map(i => s"y$i").mkString(" "))).toDF("doc_id", "text")
+    assert(DedupOps.repeatedSpans(uniq, "doc_id", "text", k = 8).isEmpty)
+    val txt = (0 until 25).map(i => s"w$i").mkString(" ")
+    val dup = Seq((1L, txt), (2L, txt)).toDF("doc_id", "text")
+    val r = DedupOps.repeatedSpans(dup, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((1L, 0L, 25L), (2L, 0L, 25L)))
+  }
+
   test("simhash hamming: identical docs distance 0; results respect the bound") {
     // banding on 4 chunks guarantees recall only for hamming <= 3
     // (pigeonhole); identical docs always share every chunk.

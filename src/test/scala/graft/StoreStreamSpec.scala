@@ -447,18 +447,52 @@ class StoreStreamSpec extends AnyFunSuite {
     val media = Multimodal.mediaFromDocuments(docs)
     val r1 = Multimodal.resize(media, 8, 8).toDF()
     val r2 = Multimodal.resize(media, 8, 8).toDF()
-    assert(r1.exceptAll(r2).isEmpty) // stub is deterministic
-    val rows = r1.select($"doc_id", length($"media").as("n"))
+    assert(r1.exceptAll(r2).isEmpty) // both paths are deterministic
+    val rows = r1.select($"doc_id", $"kind", length($"media").as("n"))
       .join(media.select($"doc_id", length($"media").as("orig")), "doc_id")
-      .as[(Long, Int, Int)].collect()
+      .as[(Long, String, Int, Int)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (id, n, orig) =>
-      assert(n <= 64, s"doc $id resized above 8x8 cap: $n")
-      if (orig <= 64) assert(n == orig, s"doc $id small payload was altered")
+    rows.foreach { case (id, kind, n, orig) =>
+      if (kind == "image")
+        assert(n == 246, s"doc $id: 8x8 BMP re-encode must be 246 bytes, got $n")
+      else {
+        assert(n <= 64, s"doc $id resized above 8x8 cap: $n")
+        if (orig <= 64) assert(n == orig, s"doc $id small payload was altered")
+      }
     }
     // golden: 130 bytes at cap 64 -> stride ceil(130/64)=3 -> 44 sampled
     val g = Multimodal.resizeStub(Array.tabulate(130)(_.toByte), 8, 8)
     assert(g.length == 44 && g(0) == 0 && g(1) == 3 && g(43) == 129.toByte)
+  }
+
+  test("multimodal: the image path is REAL — ImageIO decodes the synthesized BMP and the resize output") {
+    // decode round-trip: the JDK codec reads back exactly the dims and
+    // pixels the generator wrote
+    val id = 42L
+    val (w, h) = Multimodal.synthBmpDims(id)
+    val bytes = Multimodal.synthBmp(id)
+    assert(bytes.length == 54 + h * ((3 * w + 3) / 4 * 4))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (x <- 0 until w; y <- 0 until h) {
+      val v = ((x * 7 + y * 13).toLong + id) % 256
+      val p = img.getRGB(x, y)
+      assert(((p >> 16) & 0xFF) == v.toInt, s"R at ($x,$y)")
+      assert(((p >> 8) & 0xFF) == (v * 3 % 256).toInt, s"G at ($x,$y)")
+      assert((p & 0xFF) == (v * 5 % 256).toInt, s"B at ($x,$y)")
+    }
+    // extractFeatures reads the REAL decoded dims, not a byte-length stub
+    val feat = Multimodal.extractFeatures(
+      Seq((id, bytes, "image")).toDF("doc_id", "media", "kind")).head()
+    assert(feat.width == w && feat.height == h && feat.n_bytes == bytes.length)
+    assert(feat.feature.sum == (w * h).toFloat) // histogram counts every pixel
+    // resize output is itself a decodable 8x8 image whose pixels are the
+    // nearest-neighbor samples of the source
+    val out = Multimodal.resizeImage(bytes, 8, 8)
+    val rimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(rimg != null && rimg.getWidth == 8 && rimg.getHeight == 8)
+    for (x <- 0 until 8; y <- 0 until 8)
+      assert(rimg.getRGB(x, y) == img.getRGB(x * w / 8, y * h / 8))
   }
 
   test("multimodal: frame sampling is bounded, integer-exact, bytes round-trip") {
