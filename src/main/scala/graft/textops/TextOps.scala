@@ -62,6 +62,13 @@ object TextOps {
   /** LLM-style token count: number of BPE-ish pre-token pieces. */
   def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
 
+  /** REAL LLM token count: the learned BPE merge table
+    * ([[Bpe.merges]]) applied to every pre-token piece — the full
+    * pre-tokenize → merge-table-encode path of a production tokenizer,
+    * counted per document. */
+  def bpeTokenCount(text: Column): Column =
+    graft.functions.BpeExprs.bpeTokenCountCol(bpeishTokens(text))
+
   /** Mean token length ×1000, as integer (cross-engine exact). */
   def meanTokenLenMilli(toks: Column): Column =
     floor(aggregate(toks, lit(0L), (acc, t) => acc + length(t)) * 1000
