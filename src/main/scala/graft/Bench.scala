@@ -83,7 +83,14 @@ object Bench {
       val efT0 = System.nanoTime()
       val efRows = ef.count()
       val efSec = (System.nanoTime() - efT0) / 1e9
-      val dlf = Corpus.docLangFacts(spark, sfDir)
+      // docFacts is the pipeline's shared documents pass (r6): the
+      // document families below are marginal projections over it.
+      val dof = Corpus.docFacts(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dofT0 = System.nanoTime()
+      val dofRows = dof.count()
+      val dofSec = (System.nanoTime() - dofT0) / 1e9
+      val dlf = Corpus.docLangFactsFrom(dof)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dlfT0 = System.nanoTime()
       val dlfRows = dlf.count()
@@ -93,8 +100,8 @@ object Bench {
         "contains" -> (() => Corpus.containsFrom(lf)),
         "of_type" -> (() => Corpus.ofTypeEdges(spark, sfDir)),
         "performed" -> (() => Corpus.performedFrom(ef)),
-        "written_in" -> (() => Corpus.writtenInEdges(spark, sfDir)),
-        "from_source" -> (() => Corpus.fromSourceEdges(spark, sfDir)),
+        "written_in" -> (() => Corpus.writtenInFrom(dof)),
+        "from_source" -> (() => Corpus.fromSourceFrom(dof)),
         "fulfills" -> (() => Corpus.fulfillsFrom(lf)),
         "supplies" -> (() => Corpus.supplyFrom(lf)),
         "in_region" -> (() => Corpus.inRegionEdges(spark, sfDir)),
@@ -102,19 +109,18 @@ object Bench {
         "in_segment" -> (() => Corpus.inSegmentEdges(spark, sfDir)),
         "from_nation" -> (() => Corpus.fromNationEdges(spark, sfDir)),
         "rated" -> (() => Corpus.ratedFrom(lf)),
-        "near_dup_of" -> (() => graft.textops.DedupOps.minhashNearDupPairs(
-          Corpus.table(spark, sfDir, "documents").select("doc_id", "text"),
-          "doc_id", "text")),
+        "near_dup_of" -> (() =>
+          graft.textops.DedupOps.minhashNearDupPairsFromSigs(dof)),
         "shares_part" -> (() => Corpus.sharesPartFrom(lf)),
         "co_purchased_with" -> (() => Corpus.coPurchasedFrom(lf)),
-        "cites" -> (() => Corpus.citesEdges(spark, sfDir)),
+        "cites" -> (() => Corpus.citesFrom(dof)),
         "touched" -> (() => Corpus.touchedEdges(spark, sfDir)),
         "peer_of" -> (() => Corpus.peerOfEdges(spark, sfDir)),
         "next_order" -> (() => Corpus.nextOrderEdges(spark, sfDir)),
         "returned" -> (() => Corpus.returnedFrom(lf)),
         "ships_to" -> (() => Corpus.shipsToFrom(lf)),
         // breadth block 4
-        "similar_to" -> (() => Corpus.similarToEdges(spark, sfDir)),
+        "similar_to" -> (() => Corpus.similarToFrom(dof)),
         "followed_by" -> (() => fb),
         "located_in_region" -> (() => Corpus.locatedInRegionEdges(spark, sfDir)),
         "best_supplied_by" -> (() => Corpus.bestSupplierFrom(lf)),
@@ -134,6 +140,7 @@ object Bench {
       val timed = Seq(
         "lineFacts_shared" -> (lfSec, lfRows),
         "eventFacts_shared" -> (efSec, efRows),
+        "docFacts_shared" -> (dofSec, dofRows),
         "docLangFacts_shared" -> (dlfSec, dlfRows)) ++ fams.map {
         case (name, f) =>
           val t0 = System.nanoTime()
@@ -153,7 +160,7 @@ object Bench {
         }.mkString(",") + "}}")
       // release the shared frames before exit (ADVICE r5: cached blocks
       // must not outlive the block that owns them)
-      Seq(lf, fb, ef, dlf).foreach(_.unpersist(false))
+      Seq(lf, fb, ef, dof, dlf).foreach(_.unpersist(false))
       spark.stop()
       return
     }

@@ -198,7 +198,11 @@ object Pipeline {
     // consumer, so caching it would be pure write amplification.
     val dimPersistCap =
       sys.env.getOrElse("SPARK_GRAFT_DIM_PERSIST_MAX_MB", "1024").toLong << 20
-    val hotTables = Seq("orders", "customer", "part", "documents", "events")
+    // `documents` is no longer listed: after the docFacts fusion below
+    // every document family reads the one persisted fact frame, so the
+    // raw table has a single remaining consumer (the touched-edges
+    // endpoint list) and caching it would be write amplification.
+    val hotTables = Seq("orders", "customer", "part", "events")
       .map(n => Corpus.table(spark, sfDir, n))
       .filter(_.queryExecution.optimizedPlan.stats.sizeInBytes <= dimPersistCap)
       .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -213,7 +217,16 @@ object Pipeline {
     // (vocabulary × entity grain), so the persist never needs gating.
     val eventFacts = Corpus.eventFacts(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docLangFacts = Corpus.docLangFacts(spark, sfDir)
+    // Shared per-DOCUMENT fact pass (r5 Next #7 — the lineFacts
+    // discipline applied to the third fact-shaped input): ONE corpus
+    // scan computes metadata + fingerprint + SimHash + shingle/MinHash
+    // signatures; document nodes, written_in, from_source, cites,
+    // similar_to, near_dup_of and the language/source rollups are all
+    // marginal projections over this frame. Persisted lazily — a
+    // resumed run never materializes it.
+    val docFacts = Corpus.docFacts(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docLangFacts = Corpus.docLangFactsFrom(docFacts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = GraphStore.getOrCompute(spark, storeBase, "nodes",
         partitionByCols = Seq("bucket"), inputFp = fpNodes, lineageAsync = true) {
@@ -230,7 +243,7 @@ object Pipeline {
       // skip-bad-relationships intact (store census == graph census).
       val plain = Seq(
         Corpus.orderNodes(spark, sfDir),
-        Corpus.documentNodes(spark, sfDir),
+        Corpus.documentNodesFrom(docFacts),
         Corpus.ptypeNodes(spark, sfDir),
         Corpus.userNodesFrom(eventFacts),
         Corpus.eventTypeNodesFrom(eventFacts),
@@ -318,9 +331,7 @@ object Pipeline {
       val bundleWithF = Future(Corpus.bundleWithFrom(lineFacts))
       val regulatesF = Future(Corpus.regulatesFrom(followedBy))
       val nearDupF = Future {
-        graft.textops.DedupOps.minhashNearDupPairs(
-            Corpus.table(spark, sfDir, "documents").select("doc_id", "text"),
-            "doc_id", "text")
+        graft.textops.DedupOps.minhashNearDupPairsFromSigs(docFacts)
           .select(
             concat(lit("DOC:"), col("id1")).as("subject_id"),
             lit("near_dup_of").as("relation_label"),
@@ -334,8 +345,8 @@ object Pipeline {
         props(Corpus.containsFrom(lineFacts), "quantity", "extendedprice"),
         props(Corpus.ofTypeEdges(spark, sfDir)),
         props(Corpus.performedFrom(eventFacts), "n_events", "value_milli"),
-        props(Corpus.writtenInEdges(spark, sfDir)),
-        props(Corpus.fromSourceEdges(spark, sfDir)),
+        props(Corpus.writtenInFrom(docFacts)),
+        props(Corpus.fromSourceFrom(docFacts)),
         props(Corpus.fulfillsFrom(lineFacts), "n_lines", "qty_milli"),
         props(Corpus.supplyFrom(lineFacts), "n_lines"),
         props(Corpus.inRegionEdges(spark, sfDir)),
@@ -348,13 +359,13 @@ object Pipeline {
         props(Await.result(nearDupF, Duration.Inf), "common", "size1", "size2"),
         props(Await.result(sharesPartF, Duration.Inf), "n_common"),
         props(Await.result(coPurchasedF, Duration.Inf), "n_common"),
-        props(Corpus.citesEdges(spark, sfDir), "fp"),
+        props(Corpus.citesFrom(docFacts), "fp"),
         props(Corpus.touchedEdges(spark, sfDir), "n_events", "value_milli"),
         props(Corpus.peerOfEdges(spark, sfDir)),
         props(Corpus.nextOrderEdges(spark, sfDir), "gap_days"),
         props(Corpus.returnedFrom(lineFacts), "n_returns", "qty_milli"),
         props(Corpus.shipsToFrom(lineFacts), "n_orders"),
-        props(Corpus.similarToEdges(spark, sfDir), "hamming"),
+        props(Corpus.similarToFrom(docFacts), "hamming"),
         props(followedBy, "n_times"),
         props(Corpus.locatedInRegionEdges(spark, sfDir)),
         props(Corpus.bestSupplierFrom(lineFacts), "qty_milli"),
@@ -381,6 +392,7 @@ object Pipeline {
     lineFacts.unpersist(false)
     followedBy.unpersist(false)
     eventFacts.unpersist(false)
+    docFacts.unpersist(false)
     docLangFacts.unpersist(false)
     hotTables.foreach(_.unpersist(false))
 

@@ -382,9 +382,35 @@ object Corpus {
         lit("segment").as("label"),
         map(lit("name"), col("c_mktsegment")).as("props"))
 
+  /** Shared per-DOCUMENT fact projection — the documents-side
+    * [[lineFacts]] (VERDICT r5 Next #7): ONE corpus scan computes every
+    * per-row derivation the document families need — metadata (source,
+    * lang, n_chars), the rolling fingerprint, the SimHash signature,
+    * and the shingle-code set + MinHash signature — so the pipeline's
+    * seven documents consumers (document nodes, written_in,
+    * from_source, cites, similar_to, near_dup_of, and the
+    * language/source rollups via [[docLangFactsFrom]]) are marginal
+    * projections over one persisted frame instead of independent
+    * corpus scans. Unpersisted standalone use stays cheap: a consumer
+    * selecting only `fp` prunes the signature expressions out of the
+    * scan (Catalyst column pruning). */
+  def docFacts(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.textops.{DedupOps, TextOps}
+    table(spark, sfDir, "documents").select(
+        col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"),
+        DedupOps.simhashSignature(col("text")).as("simsig"),
+        DedupOps.shingleCodesOf(col("text"), 3).as("shc"))
+      .withColumn("sig", DedupOps.minhashSigOf(col("shc"), 64))
+  }
+
   /** Document nodes (DOC:k) with int n_chars and bool is_english. */
   def documentNodes(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "documents").select(
+    documentNodesFrom(docFacts(spark, sfDir))
+
+  /** [[documentNodes]] over a shared [[docFacts]] frame. */
+  def documentNodesFrom(df: DataFrame): DataFrame =
+    df.select(
       concat(lit("DOC:"), col("doc_id")).as("id"),
       lit("document").as("label"),
       map(
@@ -570,6 +596,11 @@ object Corpus {
     table(spark, sfDir, "documents")
       .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
 
+  /** [[docLangFacts]] over a shared [[docFacts]] frame (the pipeline
+    * path: the vocabulary rollup reuses the persisted per-doc scan). */
+  def docLangFactsFrom(df: DataFrame): DataFrame =
+    df.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+
   /** Language nodes (LANG:code) with int document counts. */
   def languageNodes(spark: SparkSession, sfDir: String): DataFrame =
     languageNodesFrom(docLangFacts(spark, sfDir))
@@ -626,14 +657,22 @@ object Corpus {
 
   /** (DOC, written_in, LANG) edges. */
   def writtenInEdges(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "documents").select(
+    writtenInFrom(docFacts(spark, sfDir))
+
+  /** [[writtenInEdges]] over a shared [[docFacts]] frame. */
+  def writtenInFrom(df: DataFrame): DataFrame =
+    df.select(
       concat(lit("DOC:"), col("doc_id")).as("subject_id"),
       lit("written_in").as("relation_label"),
       concat(lit("LANG:"), col("lang")).as("object_id"))
 
   /** (DOC, from_source, SRC) edges. */
   def fromSourceEdges(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "documents").select(
+    fromSourceFrom(docFacts(spark, sfDir))
+
+  /** [[fromSourceEdges]] over a shared [[docFacts]] frame. */
+  def fromSourceFrom(df: DataFrame): DataFrame =
+    df.select(
       concat(lit("DOC:"), col("doc_id")).as("subject_id"),
       lit("from_source").as("relation_label"),
       concat(lit("SRC:"), regexp_replace(col("source"), " ", "_")).as("object_id"))
@@ -717,21 +756,19 @@ object Corpus {
     * rolling hash, TextOps.fingerprint) mod the corpus size; self-
     * citations dropped. The derived-key-join family (J7) over document
     * content rather than a stored key. */
-  def citesEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.textops.TextOps
-    val d = table(spark, sfDir, "documents")
-    // Corpus size as a LAZY broadcast scalar (the bundle_with pattern):
-    // no eager count() at plan-build time — this was the last eager
-    // action inside a pure family builder (VERDICT r4 Wrong #4).
-    val nDf = d.agg(count(lit(1)).as("nn"))
-    // fp is let-bound so the token fold runs once per row (deriving
-    // `target` in a later projection would get CollapseProject-inlined
-    // into a second full fingerprint computation).
-    d.crossJoin(broadcast(nDf))
-      .select(col("doc_id"),
-        TextOps.let(TextOps.fingerprint(TextOps.tokens(col("text"))),
-          fp => struct(fp.as("fp"), pmod(fp, col("nn")).as("target"))).as("s"))
-      .select(col("doc_id"), col("s.fp").as("fp"), col("s.target").as("target"))
+  def citesEdges(spark: SparkSession, sfDir: String): DataFrame =
+    citesFrom(docFacts(spark, sfDir))
+
+  /** [[citesEdges]] over a shared [[docFacts]] frame: the fingerprint
+    * is the frame's precomputed `fp` column (one token fold per row,
+    * shared with every other docFacts consumer); the corpus size stays
+    * a LAZY broadcast scalar (the bundle_with pattern — no eager
+    * count() at plan-build time, VERDICT r4 Wrong #4). */
+  def citesFrom(df: DataFrame): DataFrame = {
+    val facts = df.select(col("doc_id"), col("fp"))
+    val nDf = facts.agg(count(lit(1)).as("nn"))
+    facts.crossJoin(broadcast(nDf))
+      .withColumn("target", pmod(col("fp"), col("nn")))
       .filter(col("target") =!= col("doc_id"))
       .select(
         concat(lit("DOC:"), col("doc_id")).as("subject_id"),
@@ -847,9 +884,13 @@ object Corpus {
     * the raw documents (the second dedup algorithm emitted as typed KG
     * edges, alongside MinHash's near_dup_of). */
   def similarToEdges(spark: SparkSession, sfDir: String): DataFrame =
-    graft.textops.DedupOps.simhashNearDupPairs(
-        table(spark, sfDir, "documents").select("doc_id", "text"),
-        "doc_id", "text")
+    similarToFrom(docFacts(spark, sfDir))
+
+  /** [[similarToEdges]] over a shared [[docFacts]] frame (the SimHash
+    * signature is the frame's precomputed `simsig` column). */
+  def similarToFrom(df: DataFrame): DataFrame =
+    graft.textops.DedupOps.simhashNearDupPairsFromSigs(
+        df.select(col("doc_id"), col("simsig").as("sig")))
       .select(
         concat(lit("DOC:"), col("id1")).as("subject_id"),
         lit("similar_to").as("relation_label"),

@@ -125,6 +125,18 @@ object DedupOps {
           i => ascii(t.substr(i, lit(1))).cast("long")),
         lit(0L), (h, c) => (h * 131L + c) % m))
 
+  /** The distinct-shingle-codes COLUMN for a text column (native fused
+    * kernel) — composable into shared per-document fact projections
+    * (Corpus.docFacts). */
+  def shingleCodesOf(text: Column, n: Int): Column =
+    graft.functions.TextHashExprs.shingleCodesCol(
+      TextOps.tokens(text), n, CHAR_M, P)
+
+  /** The k-permutation MinHash signature COLUMN over a shingle-code
+    * array column (native fused kernel; same composability). */
+  def minhashSigOf(shc: Column, k: Int): Column =
+    graft.functions.TextHashExprs.minhashSigCol(shc, hashParams(k), P)
+
   /** Distinct n-token shingle CODES per doc: per-token char codes once,
     * then a rolling polynomial over each n-window — 8 bytes per shingle
     * instead of the string (the shuffle-key discipline at 100 TB), and
@@ -132,8 +144,7 @@ object DedupOps {
     * [[shingleCodesHof]] is the composable form it matches bit-for-bit. */
   def shingleCodes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        graft.functions.TextHashExprs.shingleCodesCol(
-          TextOps.tokens(col(textCol)), n, CHAR_M, P).as("shc"))
+        shingleCodesOf(col(textCol), n).as("shc"))
       .filter(size(col("shc")) > 0)
 
   /** The higher-order-function formulation of the shingle-code column —
@@ -179,8 +190,19 @@ object DedupOps {
     * (k, r) banding curve). */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, k: Int = 64, r: Int = 2,
-                          tau: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol, n, k)
+                          tau: Double = 0.5): DataFrame =
+    minhashNearDupPairsFromSigs(
+      minhashSignatures(docs, idCol, textCol, n, k), k, r, tau)
+
+  /** [[minhashNearDupPairs]] over a PRECOMPUTED (doc_id, shc, sig)
+    * frame (a shared per-document fact projection — Corpus.docFacts):
+    * banding, candidate equi-join and exact verification all read the
+    * one frame, so the corpus is scanned once, not twice. Rows with an
+    * empty shingle set are excluded exactly as the scan path does. */
+  def minhashNearDupPairsFromSigs(sigIn: DataFrame, k: Int = 64, r: Int = 2,
+                                  tau: Double = 0.5): DataFrame = {
+    val sig = sigIn.select(col("doc_id"), col("shc"), col("sig"))
+      .filter(size(col("shc")) > 0)
     val nBands = k / r
     val buckets = sig.select(col("doc_id"),
         posexplode(array((0 until nBands).map { b =>
@@ -192,8 +214,8 @@ object DedupOps {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    // exact verify on candidates only
-    val sets = shingleCodes(docs, idCol, textCol, n)
+    // exact verify on candidates only — same frame, no re-scan
+    val sets = sig.select(col("doc_id"), col("shc"))
     val verified = cand
       .join(sets.select(col("doc_id").as("id1"), col("shc").as("shc1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("shc").as("shc2")), "id2")
@@ -281,9 +303,15 @@ object DedupOps {
     * hamming 3 must agree on at least one chunk (pigeonhole), so
     * candidates are an equi-join — never all-pairs. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("doc_id"),
-      simhashSignature(col(textCol)).as("sig"))
+                          maxHamming: Int = 3): DataFrame =
+    simhashNearDupPairsFromSigs(
+      docs.select(col(idCol).as("doc_id"),
+        simhashSignature(col(textCol)).as("sig")), maxHamming)
+
+  /** [[simhashNearDupPairs]] over a PRECOMPUTED (doc_id, sig) frame
+    * (a shared per-document fact projection). */
+  def simhashNearDupPairsFromSigs(sigs: DataFrame,
+                                  maxHamming: Int = 3): DataFrame = {
     val chunks = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("chunk"),
