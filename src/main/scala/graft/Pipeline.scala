@@ -56,6 +56,10 @@ object Pipeline {
 
   def run(spark: SparkSession, sfDir: String, storeBase: String,
           partitions: Int, mult: Int = 1, retainSnapshots: Int = 2): Result = {
+    // Construction-time schema gate (reference pydantic/enum checks):
+    // a misdeclared type/prop/lineage fails HERE with the full typed
+    // error list, not as an AnalysisException deep inside a builder.
+    graft.schema.KgSchema.validateConfig()
     val t0 = System.nanoTime()
     var tLast = t0
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean

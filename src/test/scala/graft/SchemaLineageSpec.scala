@@ -68,6 +68,12 @@ class SchemaLineageSpec extends AnyFunSuite {
     assert(asEdge.forall(e => !nodeLabels(e)))
   }
 
+  test("construction-time config validation: the declared schema is clean and the gate passes") {
+    assert(KgSchema.configErrors.isEmpty,
+      KgSchema.configErrors.mkString("; "))
+    KgSchema.validateConfig() // must not throw
+  }
+
   test("label_in_input is total over node types and injective") {
     val inputs = KgSchema.nodeTypes.values.map(_.labelInInput.get).toSeq
     assert(inputs.distinct.size == inputs.size)
