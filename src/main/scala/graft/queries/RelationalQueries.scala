@@ -400,6 +400,15 @@ object RelationalQueries {
       tune(s)
       graft.streaming.StreamOps.hourlyAgg(Corpus.table(s, dir, "events"))
     }),
+    // Gap-based sessionization (session_window; batch ≡ streaming
+    // asserted in StoreStreamSpec) — the oracle rebuilds the sessions
+    // relationally via gaps-and-islands: new session iff the gap to the
+    // previous event is >= the 12h window, exactly Spark's
+    // strict-less-than merge rule.
+    "q_user_sessions" -> ((s, dir) => {
+      tune(s)
+      graft.streaming.StreamOps.userSessions(Corpus.table(s, dir, "events"))
+    }),
     // Multimodal plumbing: binary media column -> batch feature extract
     // (decode stubbed; rows-only — floats + engine-local stub).
     "q_media_features" -> ((s, dir) => {
@@ -793,6 +802,24 @@ object RelationalQueries {
         |SELECT doc_id, CAST(idx AS BIGINT) frame_idx,
         |       CAST(least(16, n - idx*16) AS INT) n_bytes
         |FROM s WHERE rn <= 8""".stripMargin,
+    "q_user_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(floor(value * 1000 + 0.5) AS BIGINT) vm,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+        |                ORDER BY ts, event_id) < INTERVAL 12 HOUR
+        |              THEN 0 ELSE 1 END new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, vm,
+        |         sum(new_sess) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) sid
+        |  FROM e)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') session_start,
+        |       count(*) n_events, CAST(sum(vm) AS BIGINT) value_milli
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS "hour",
         |       event_type, count(*) n,

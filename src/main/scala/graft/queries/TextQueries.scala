@@ -63,6 +63,26 @@ object TextQueries {
       docs(s, dir).select(col("doc_id"),
         TextOps.langId(TextOps.tokens(col("text"))).as("predicted"))
     }),
+    // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
+    // duplicate-n-gram and top-n-gram fractions are standard
+    // training-data filters): per doc, the most-frequent-2-gram count,
+    // the duplicate-2-gram fraction and the top-2-gram fraction, as
+    // milli ints. One (doc, gram) shuffle, state bounded by document
+    // length — the scale shape of a per-doc repetition filter.
+    "q_doc_repetition" -> ((s, dir) => {
+      tune(s)
+      val grams = docs(s, dir).select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      grams.groupBy(col("doc_id")).agg(
+          max(col("c")).as("top2"),
+          sum(col("c")).as("n2"),
+          count(lit(1)).as("d2"))
+        .select(col("doc_id"), col("top2"),
+          floor((col("n2") - col("d2")) * 1000 / col("n2")).cast("long")
+            .as("dup2_milli"),
+          floor(col("top2") * 1000 / col("n2")).cast("long").as("top2_milli"))
+    }),
     "q_doc_fingerprint" -> ((s, dir) => {
       tune(s)
       docs(s, dir).select(col("doc_id"),
@@ -344,6 +364,16 @@ object TextQueries {
          |SELECT doc_id, CASE WHEN en >= es AND en >= de THEN 'en'
          |                    WHEN es >= de THEN 'es' ELSE 'de' END predicted
          |FROM h""".stripMargin,
+    "q_doc_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+        |        i -> ts[i] || ' ' || ts[i+1])) g
+        |      FROM t WHERE len(ts) >= 2),
+        |c AS (SELECT doc_id, g, count(*) c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, max(c) top2,
+        |  CAST(floor((sum(c) - count(*)) * 1000 / sum(c)) AS BIGINT) dup2_milli,
+        |  CAST(floor(max(c) * 1000 / sum(c)) AS BIGINT) top2_milli
+        |FROM c GROUP BY doc_id""".stripMargin,
     "q_doc_fingerprint" ->
       s"""SELECT doc_id,
          |  list_reduce([0] || list_transform($tokSql,

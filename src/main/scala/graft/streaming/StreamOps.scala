@@ -61,6 +61,31 @@ object StreamOps {
   def hourlyAggStreaming(events: DataFrame): DataFrame =
     hourlyAgg(events.withWatermark("ts", "2 hours"))
 
+  /** Gap-based SESSIONIZATION per user (`session_window` — the
+    * training-data pipeline's user-session unit): events merge into one
+    * session while the gap to the previous event is STRICTLY below
+    * `gap`; emits the session start, event count and exact integer
+    * value sum (per-row integerization BEFORE the sum, the
+    * summation-order-independence discipline). The same code path runs
+    * batch (q_user_sessions, DuckDB gaps-and-islands oracle) and
+    * streaming ([[userSessionsStreaming]], memory-sink equivalence
+    * spec). Scale: one shuffle on user_id; state per user is the open
+    * session only (the built-in session operator evicts closed sessions
+    * at the watermark). */
+  def userSessions(events: DataFrame, gap: String = "12 hours"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000 + 0.5).cast("long")).as("value_milli"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("value_milli"))
+
+  /** Watermarked variant for append-mode streaming sinks. */
+  def userSessionsStreaming(events: DataFrame, gap: String = "12 hours"): DataFrame =
+    userSessions(events.withWatermark("ts", "10 days"), gap)
+
   /** The flagship pipeline's front half (stage 1 extract + stage 2
     * broadcast-trie mention linking) applied to a STREAMING page
     * source: both stages are map-only over the fact side (a UDF

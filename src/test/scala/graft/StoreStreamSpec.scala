@@ -189,6 +189,24 @@ class StoreStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming: session_window sessionization over readStream equals batch result") {
+    val dir = Files.createTempDirectory("sess_")
+    Files.copy(Paths.get(Corpus64Util.eventsPath), dir.resolve("events.parquet"))
+    val events = dir.toString
+    val batch = StreamOps.userSessions(spark.read.parquet(events))
+    val streamIn = spark.readStream
+      .schema(spark.read.parquet(events).schema)
+      .parquet(events)
+    val q = StreamOps.userSessions(streamIn).writeStream
+      .format("memory").queryName("sessions_out").outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.table("sessions_out")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // sessions genuinely merge events: at least one multi-event session
+    assert(batch.filter($"n_events" > 1).count() > 0)
+    q.stop()
+  }
+
   test("streaming: stateful dedup emits each hash once across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.HashedDoc
