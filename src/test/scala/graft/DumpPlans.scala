@@ -29,7 +29,10 @@ object DumpPlans {
       // breadth block 5
       "q_in_family", "q_variant_of", "q_bundle_with", "q_regulates",
       "q_prefers", "q_bought_from", "q_repr_order", "q_charged_with",
-      "q_dominant_lang", "q_handles")
+      "q_dominant_lang", "q_handles",
+      // round 6
+      "q_span_dedup", "q_doc_repetition", "q_user_sessions",
+      "q_schema_rollup", "q_doc_tokens_bpe")
     val sb = new StringBuilder
     names.foreach { n =>
       sb.append(s"===== $n =====\n")
