@@ -140,8 +140,14 @@ object CsvExport {
     nodeLabels.foreach { l =>
       script ++= s"""  --nodes=$l="$nodesDir/header.csv,$nodesDir/label=$l/part-.*\\.csv" \\\n"""
     }
+    // the relationship TYPE is the schema's label_as_edge dual
+    // (KgSchema, reference schema_config.yaml:146 — BioCypher emits the
+    // UPPER_SNAKE type into the import call); the data directory keeps
+    // the relation_label name. Undeclared labels pass through verbatim.
     edgeLabels.foreach { l =>
-      script ++= s"""  --relationships=$l="$edgesDir/header.csv,$edgesDir/relation_label=$l/part-.*\\.csv" \\\n"""
+      val neoType = graft.schema.KgSchema.edgeTypes.get(l)
+        .flatMap(_.labelAsEdge).getOrElse(l)
+      script ++= s"""  --relationships=$neoType="$edgesDir/header.csv,$edgesDir/relation_label=$l/part-.*\\.csv" \\\n"""
     }
     script ++= s"  --overwrite-destination=true\n"
     writeTextFile(conf, nodesDir, "neo4j-admin-import-call.sh", script.toString)

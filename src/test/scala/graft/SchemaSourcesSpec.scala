@@ -115,14 +115,20 @@ class SchemaSourcesSpec extends AnyFunSuite {
     assert("--nodes=".r.findAllIn(script).size == 2)
     assert("--relationships=".r.findAllIn(script).size == 2)
     for (l <- nl) assert(script.contains(s"--nodes=$l="))
-    for (l <- el) assert(script.contains(s"--relationships=$l="))
+    // the relationship TYPE is the schema's label_as_edge dual
+    // (ORDERED is the uppercase default; similar_to carries an
+    // explicit non-default mapping) — the data path keeps the
+    // relation_label directory name
+    assert(script.contains("--relationships=ORDERED="))
+    assert(script.contains("--relationships=IS_SIMILAR_TO="))
+    assert(script.contains("relation_label=similar_to/part-"))
     assert(script.contains("--array-delimiter=\"|\"") && script.contains("--quote=\"'\""))
     assert(script.contains("--skip-duplicate-nodes=true")
       && script.contains("--skip-bad-relationships=true"))
     // every entry lists the shared header file first, then the
     // headerless parts — the layout neo4j-admin actually imports
     assert(script.contains(s"""--nodes=customer="$nOut/header.csv,$nOut/label=customer/part-.*\\.csv""""))
-    assert(script.contains(s"""--relationships=ordered="$eOut/header.csv,$eOut/relation_label=ordered/part-.*\\.csv""""))
+    assert(script.contains(s"""--relationships=ORDERED="$eOut/header.csv,$eOut/relation_label=ordered/part-.*\\.csv""""))
     val nHeader = new String(Files.readAllBytes(
       java.nio.file.Paths.get(nOut, "header.csv")), "UTF-8").trim
     val eHeader = new String(Files.readAllBytes(
