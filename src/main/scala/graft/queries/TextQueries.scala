@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.fixtures.Corpus
 import graft.textops.{DedupOps, TextOps}
@@ -166,6 +166,89 @@ object TextQueries {
         graft.store.GraphStore.deleteRecursively(java.nio.file.Path.of(base))
       }
     }),
+    // Benchmark k-gram DECONTAMINATION (eval-overlap filtering — the
+    // stage every public LLM data pipeline runs before training): the
+    // benchmark corpus is a deterministic fixture slice (doc_id % 37),
+    // the training side is every document; per doc, the exact fraction
+    // of its distinct 8-token shingles that occur anywhere in the
+    // benchmark, flagged at >= 20%. Benchmark docs flag themselves at
+    // 1000 milli (self-overlap) — the threshold's positive control.
+    "q_decontaminate" -> ((s, dir) => {
+      tune(s)
+      val d = docs(s, dir).select("doc_id", "text")
+      DedupOps.decontaminate(
+        d, d.filter(pmod(col("doc_id"), lit(37)) === 0),
+        "doc_id", "text", k = 8, tauMilli = 200)
+    }),
+    // URL canonicalization (Common-Crawl recrawl dedup): deterministic
+    // messy variants of the page URLs (case/default-port/fragment,
+    // utm tracking params, trailing slash, a REAL :8080 port that must
+    // survive) built in BOTH engines, normalized by the same pure
+    // string/array rules, grouped to (canon_url, n_variants, repr_url).
+    "q_url_canon" -> ((s, dir) => {
+      tune(s)
+      val o = Corpus.table(s, dir, "orders")
+        .select(col("o_orderkey").as("k"))
+      def variant(cond: Column, u: Column) = o.filter(cond).select(u.as("u"))
+      val raw = variant(lit(true), concat(lit("https://ex.org/"), col("k")))
+        .unionByName(variant(pmod(col("k"), lit(3)) === 0,
+          concat(lit("HTTPS://EX.ORG:443/"), col("k"), lit("#frag"))))
+        .unionByName(variant(pmod(col("k"), lit(5)) === 0,
+          concat(lit("https://ex.org/"), col("k"), lit("?utm_source=x&b=2&a=1"))))
+        .unionByName(variant(pmod(col("k"), lit(7)) === 0,
+          concat(lit("https://ex.org/"), col("k"), lit("/"))))
+        .unionByName(variant(pmod(col("k"), lit(11)) === 0,
+          concat(lit("https://ex.org:8080/"), col("k"))))
+      raw.groupBy(graft.textops.UrlOps.canonicalizeUrl(col("u")).as("canon_url"))
+        .agg(count(lit(1)).as("n_variants"), min(col("u")).as("repr_url"))
+    }),
+    // C4/RefinedWeb-style FILTER FUNNEL: one pass computes every doc's
+    // per-stage survival flags (language -> min length -> stopword
+    // quality -> exact dedup among survivors), then explodes each doc
+    // into the stages it survives — per-stage (n_docs, n_tokens)
+    // survivor counts, the artifact a corpus-curation run reports.
+    // Dedup canonicality is min-doc_id per portable FINGERPRINT among
+    // quality survivors (8-byte window key — the exact-dedup shuffle
+    // discipline, oracle-expressible unlike xxhash64).
+    "q_filter_funnel" -> ((s, dir) => {
+      tune(s)
+      import org.apache.spark.sql.expressions.Window
+      val d0 = docs(s, dir).select("doc_id", "text", "lang")
+      val d = d0.unionByName(
+        d0.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+            col("lang")))
+      val t = TextOps.tokens(col("text"))
+      val flags = d.select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          (col("lang") === "en").as("f1"),
+          (TextOps.tokenCount(col("text")) >= 30).as("len_ok"),
+          (TextOps.stopwordCount(t, TextOps.langStopwords("en")) >= 2)
+            .as("stop_ok"),
+          TextOps.fingerprint(t).as("fp"))
+        .withColumn("f2", col("f1") && col("len_ok"))
+        .withColumn("f3", col("f2") && col("stop_ok"))
+      val w = Window.partitionBy("fp")
+      val staged = flags
+        .withColumn("minid", min(when(col("f3"), col("doc_id"))).over(w))
+        .withColumn("f4", col("f3") && col("doc_id") === col("minid"))
+        .select(col("n_tokens"), explode(array(
+          struct(lit(0L).as("stage_idx"), lit("raw").as("stage"),
+            lit(true).as("pass")),
+          struct(lit(1L).as("stage_idx"), lit("lang_en").as("stage"),
+            col("f1").as("pass")),
+          struct(lit(2L).as("stage_idx"), lit("min_length").as("stage"),
+            col("f2").as("pass")),
+          struct(lit(3L).as("stage_idx"), lit("stopword_quality").as("stage"),
+            col("f3").as("pass")),
+          struct(lit(4L).as("stage_idx"), lit("exact_dedup").as("stage"),
+            col("f4").as("pass")))).as("s"))
+      staged.filter(col("s.pass"))
+        .groupBy(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+    }),
     // The dedup family as typed KG edges (KgSchema near_dup_of:
     // document -> document with int overlap props) over the raw table.
     "q_dup_edges" -> ((s, dir) => {
@@ -328,7 +411,116 @@ object TextQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  /** DuckDB mirror of DedupOps.decontaminate(k, tauMilli) with the
+    * doc_id % 37 benchmark slice — distinct k-window rolling codes
+    * (GENERATED from the same k, the spanSqlOver pattern), benchmark
+    * code-set semi-join, exact milli fraction. */
+  private def decontamSqlOver(srcSql: String, k: Int, tauMilli: Int): String = {
+    val rolling = (0 until k).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+      s"(($acc * 8191 + cs[i+$j]) % 2147483647)")
+    s"""WITH d AS (
+       |  $srcSql),
+       |codes AS (SELECT doc_id, ${codesSql(1048573L)} cs FROM d),
+       |shc AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(cs) - ${k - 1}),
+       |    i -> $rolling)) shc
+       |  FROM codes WHERE len(cs) >= $k),
+       |bench AS (SELECT DISTINCT unnest(shc) code FROM shc WHERE doc_id % 37 = 0),
+       |ex AS (SELECT doc_id, len(shc) n_grams, unnest(shc) code FROM shc),
+       |agg AS (
+       |  SELECT e.doc_id, max(e.n_grams) n_grams,
+       |         sum(CASE WHEN b.code IS NULL THEN 0 ELSE 1 END) n_matched
+       |  FROM ex e LEFT JOIN bench b ON e.code = b.code
+       |  GROUP BY 1)
+       |SELECT doc_id, CAST(n_grams AS BIGINT) n_grams,
+       |       CAST(n_matched AS BIGINT) n_matched,
+       |       CAST(floor(n_matched * 1000 / n_grams) AS BIGINT) contam_milli,
+       |       floor(n_matched * 1000 / n_grams) >= $tauMilli flagged
+       |FROM agg""".stripMargin
+  }
+
+  /** DuckDB mirror of UrlOps.canonicalizeUrl over the same
+    * deterministically-messy variant set q_url_canon builds. */
+  private val urlCanonSql: String = {
+    val params = "array_to_string(list_sort(list_filter(string_split(qs, '&'), " +
+      "x -> NOT starts_with(x, 'utm_'))), '&')"
+    s"""WITH raw AS (
+       |  SELECT 'https://ex.org/' || o_orderkey u FROM orders
+       |  UNION ALL
+       |  SELECT 'HTTPS://EX.ORG:443/' || o_orderkey || '#frag' FROM orders WHERE o_orderkey % 3 = 0
+       |  UNION ALL
+       |  SELECT 'https://ex.org/' || o_orderkey || '?utm_source=x&b=2&a=1' FROM orders WHERE o_orderkey % 5 = 0
+       |  UNION ALL
+       |  SELECT 'https://ex.org/' || o_orderkey || '/' FROM orders WHERE o_orderkey % 7 = 0
+       |  UNION ALL
+       |  SELECT 'https://ex.org:8080/' || o_orderkey FROM orders WHERE o_orderkey % 11 = 0),
+       |p AS (
+       |  SELECT u, split_part(u, '#', 1) nofrag FROM raw),
+       |q AS (
+       |  SELECT u, split_part(nofrag, '?', 1) base,
+       |    CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2) ELSE '' END qs
+       |  FROM p),
+       |r AS (
+       |  SELECT u, qs,
+       |    lower(split_part(base, '://', 1)) scheme,
+       |    split_part(split_part(base, '://', 2), '/', 1) hostport,
+       |    substr(split_part(base, '://', 2),
+       |           length(split_part(split_part(base, '://', 2), '/', 1)) + 1) pathraw
+       |  FROM q),
+       |s AS (
+       |  SELECT u, qs, scheme, pathraw,
+       |    lower(split_part(hostport, ':', 1)) host,
+       |    CASE WHEN contains(hostport, ':') THEN split_part(hostport, ':', 2) ELSE '' END port
+       |  FROM r),
+       |c AS (
+       |  SELECT u,
+       |    scheme || '://' || host ||
+       |    CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+       |              OR (scheme = 'http' AND port = '80')
+       |         THEN '' ELSE ':' || port END ||
+       |    CASE WHEN pathraw = '' THEN '/'
+       |         WHEN pathraw <> '/' AND pathraw LIKE '%/'
+       |         THEN substr(pathraw, 1, length(pathraw) - 1)
+       |         ELSE pathraw END ||
+       |    CASE WHEN $params = '' THEN '' ELSE '?' || $params END canon_url
+       |  FROM s)
+       |SELECT canon_url, count(*) n_variants, min(u) repr_url
+       |FROM c GROUP BY 1""".stripMargin
+  }
+
+  private val filterFunnelSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 5 = 0),
+      |f AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) n_tokens,
+      |    lang = 'en' f1,
+      |    lang = 'en' AND len(string_split(text, ' ')) >= 30 f2,
+      |    lang = 'en' AND len(string_split(text, ' ')) >= 30
+      |      AND len(list_filter(string_split(text, ' '),
+      |            t -> list_contains(['the','a','of','and','is'], t))) >= 2 f3,
+      |    list_reduce([0] || list_transform(string_split(text, ' '),
+      |      t -> (ord(t[1])*7 + length(t)) % 1048576),
+      |      (a,b) -> (a*31+b) % 1048576) fp
+      |  FROM d),
+      |c AS (
+      |  SELECT *, f3 AND doc_id = min(CASE WHEN f3 THEN doc_id END)
+      |              OVER (PARTITION BY fp) f4
+      |  FROM f)
+      |SELECT CAST(0 AS BIGINT) stage_idx, 'raw' stage, count(*) n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) n_tokens FROM c
+      |UNION ALL SELECT 1, 'lang_en', count(*), CAST(sum(n_tokens) AS BIGINT) FROM c WHERE f1
+      |UNION ALL SELECT 2, 'min_length', count(*), CAST(sum(n_tokens) AS BIGINT) FROM c WHERE f2
+      |UNION ALL SELECT 3, 'stopword_quality', count(*), CAST(sum(n_tokens) AS BIGINT) FROM c WHERE f3
+      |UNION ALL SELECT 4, 'exact_dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM c WHERE f4""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_decontaminate" ->
+      decontamSqlOver("SELECT doc_id, text FROM documents", 8, 200),
+    "q_url_canon" -> urlCanonSql,
+    "q_filter_funnel" -> filterFunnelSql,
     "q_doc_tokens_bpe" -> bpeTokensSql,
     "q_minhash_neardup" -> minhashSql,
     // identical to q_minhash_neardup BY SHARED DEFINITION: the streamed

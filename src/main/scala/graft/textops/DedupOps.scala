@@ -278,6 +278,43 @@ object DedupOps {
       .select(col("doc_id"), col("span_start"), col("span_len"))
   }
 
+  /** Benchmark k-gram DECONTAMINATION (the eval-overlap filter every
+    * public training-data pipeline runs before training — GPT-3 appx C
+    * / PaLM-style 8-gram overlap): per training doc, how many of its
+    * distinct k-token shingles also occur in the benchmark corpus, as
+    * an exact integer fraction. Output:
+    * (doc_id, n_grams, n_matched, contam_milli, flagged) — flagged when
+    * contam_milli >= tauMilli. Same portable shingle codes as the dedup
+    * family, so the oracle engine reproduces it bit-for-bit.
+    *
+    * Scale: the benchmark side is a DIMENSION (eval suites are a few
+    * thousand docs) — its distinct code set broadcasts; the training
+    * corpus is scanned ONCE (sizes ride the explode via a let-bound
+    * projection), the only fact-side shuffle is the per-doc count on
+    * 8-byte doc_id keys with map-side partial aggregation. Docs shorter
+    * than k tokens have no k-gram evidence and are absent (same rule as
+    * the dedup family). */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, k: Int, tauMilli: Int): DataFrame = {
+    require(k >= 1, s"decontamination shingle width must be >= 1: $k")
+    require(tauMilli >= 0 && tauMilli <= 1000,
+      s"tauMilli must be a milli fraction in [0, 1000]: $tauMilli")
+    val bench = broadcast(
+      shingleCodes(benchmark, idCol, textCol, k)
+        .select(explode(col("shc")).as("code")).distinct()
+        .withColumn("hit", lit(1L)))
+    val ex = shingleCodes(docs, idCol, textCol, k)
+      .select(col("doc_id"), size(col("shc")).cast("long").as("n_grams"),
+        explode(col("shc")).as("code"))
+    ex.join(bench, Seq("code"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_matched"))
+      .withColumn("contam_milli",
+        floor(col("n_matched") * 1000 / col("n_grams")).cast("long"))
+      .withColumn("flagged", col("contam_milli") >= tauMilli)
+  }
+
   /** Portable 31-bit SimHash per doc: bit b of the signature is the
     * sign of Σ_tokens (±1 per bit b of the token's char-poly hash).
     * Pure column expressions — whole-stage codegen, no typed map, and

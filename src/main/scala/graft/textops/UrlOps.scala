@@ -1,0 +1,57 @@
+package graft.textops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for Common-Crawl-style page dedup (the first
+  * dedup any web corpus runs: the same page is crawled under scheme/
+  * host case variants, default ports, fragments, tracking params and
+  * trailing slashes — cf. the WARC-dedup stage of public CC pipelines).
+  *
+  * Pure codegen'd string/array Columns — no UDF, no regex beyond what
+  * both engines share — so the DuckDB oracle reproduces every rule
+  * bit-for-bit:
+  *
+  *  1. drop the `#fragment`;
+  *  2. lowercase scheme and host;
+  *  3. strip the scheme's default port (https:443, http:80);
+  *  4. drop `utm_*` tracking query params, sort the survivors
+  *     (binary/codepoint order — both engines' default collation);
+  *  5. empty path -> "/", strip one trailing slash off non-root paths.
+  *
+  * At 10^12 pages the canonical-url group key would be its 8-byte hash
+  * (the exact-dedup discipline, DedupOps.exactDedup); the string key is
+  * kept here because the oracle compares representative VALUES.
+  */
+object UrlOps {
+
+  /** Canonical form of a URL column (rules above). Assumes
+    * `scheme://host[:port][/path][?query][#fragment]` shape — the shape
+    * a crawler's frontier emits. */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = substring_index(u, "#", 1)
+    val base = substring_index(noFrag, "?", 1)
+    // everything after the '?' ('' when absent: start > length)
+    val qs = noFrag.substr(length(base) + 2, length(noFrag))
+    val rawScheme = substring_index(base, "://", 1)
+    val scheme = lower(rawScheme)
+    val rest = base.substr(length(rawScheme) + 4, length(base))
+    val hostport = substring_index(rest, "/", 1)
+    val pathRaw = rest.substr(length(hostport) + 1, length(rest))
+    val rawHost = substring_index(hostport, ":", 1)
+    val host = lower(rawHost)
+    val port = hostport.substr(length(rawHost) + 2, length(hostport))
+    val defaultPort = (scheme === "https" && port === "443") ||
+      (scheme === "http" && port === "80") || port === ""
+    val path0 = when(pathRaw === "", lit("/")).otherwise(pathRaw)
+    val path = when(path0 =!= "/" && path0.endsWith("/"),
+      path0.substr(lit(1), length(path0) - 1)).otherwise(path0)
+    val params = array_join(
+      sort_array(filter(split(qs, "&"), p => !p.startsWith("utm_"))), "&")
+    concat(
+      scheme, lit("://"), host,
+      when(defaultPort, lit("")).otherwise(concat(lit(":"), port)),
+      path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.textops.{DedupOps, UrlOps}
+
+/** Round-6 training-data ops: benchmark k-gram decontamination, URL
+  * canonicalization, and the filter funnel — hand-computed goldens on
+  * tiny corpora (the oracle checks the full fixture; these pin the
+  * SEMANTICS so an oracle-and-engine-agree-but-both-wrong drift is
+  * caught at the unit level).
+  */
+class TrainingDataOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- decontamination -------------------------------------------
+
+  test("decontaminate: exact overlap fractions and flagging on a hand corpus") {
+    // k=3 over 6-token docs -> 4 windows each (all distinct by construction)
+    val docs = Seq(
+      (1L, "a b c d e f"),   // benchmark member: all 4 windows match itself
+      (2L, "a b c d x y"),   // windows: abc bcd cdx dxy -> 2 of 4 match
+      (3L, "p q r s t u"),   // 0 of 4 match
+      (4L, "z z")            // < k tokens: absent from output
+    ).toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" === 1L)
+    val r = DedupOps.decontaminate(docs, bench, "doc_id", "text",
+        k = 3, tauMilli = 500)
+      .select("doc_id", "n_grams", "n_matched", "contam_milli", "flagged")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(r(1L) === ((4L, 4L, 1000L, true)))
+    assert(r(2L) === ((4L, 2L, 500L, true)))  // boundary: >= tau flags
+    assert(r(3L) === ((4L, 0L, 0L, false)))
+    assert(!r.contains(4L))
+  }
+
+  test("decontaminate: duplicated shingles count once (distinct-gram fraction)") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // distinct 3-windows: abc bca cab -> 3
+      (2L, "a b c")              // benchmark: the single window abc
+    ).toDF("doc_id", "text")
+    val r = DedupOps.decontaminate(docs, docs.filter($"doc_id" === 2L),
+        "doc_id", "text", k = 3, tauMilli = 200)
+      .filter($"doc_id" === 1L)
+      .select("n_grams", "n_matched", "contam_milli", "flagged")
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(r === ((3L, 1L, 333L, true)))
+  }
+
+  // ---- URL canonicalization --------------------------------------
+
+  private def canon(u: String): String =
+    Seq(u).toDF("u").select(UrlOps.canonicalizeUrl($"u")).as[String].head()
+
+  test("url canon: case, default port, fragment, trailing slash, utm params") {
+    // the five variant shapes q_url_canon builds
+    assert(canon("https://ex.org/42") === "https://ex.org/42")
+    assert(canon("HTTPS://EX.ORG:443/42#frag") === "https://ex.org/42")
+    assert(canon("https://ex.org/42/") === "https://ex.org/42")
+    assert(canon("https://ex.org/42?utm_source=x&b=2&a=1")
+      === "https://ex.org/42?a=1&b=2")
+    // a REAL port survives
+    assert(canon("https://ex.org:8080/42") === "https://ex.org:8080/42")
+  }
+
+  test("url canon: edge shapes — bare host, root slash, http:80, all-utm query") {
+    assert(canon("http://Ex.Org") === "http://ex.org/")
+    assert(canon("http://ex.org/") === "http://ex.org/")
+    assert(canon("http://ex.org:80/a") === "http://ex.org/a")
+    assert(canon("http://ex.org:8080/a") === "http://ex.org:8080/a")
+    // dropping every param drops the '?'
+    assert(canon("https://ex.org/a?utm_x=1&utm_y=2") === "https://ex.org/a")
+    // params sort in codepoint order; deep paths keep inner slashes
+    assert(canon("https://ex.org/a/b/c/?z=1&y=2#x") === "https://ex.org/a/b/c?y=2&z=1")
+  }
+
+  test("url canon is idempotent on its own output") {
+    val raws = Seq("HTTPS://EX.ORG:443/1#f", "https://ex.org/2?utm_a=1&b=2",
+      "http://Ex.Org:80/x/", "https://ex.org:8080/y")
+    raws.foreach { u => assert(canon(canon(u)) === canon(u)) }
+  }
+
+  // ---- filter funnel ---------------------------------------------
+
+  test("filter funnel: stage counts are monotonically non-increasing and dedup collapses clusters") {
+    val fn = graft.queries.TextQueries.queries("q_filter_funnel")
+    val rows = fn(spark, TestSpark.sf0001)
+      .select("stage_idx", "n_docs", "n_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, s"stage ${b._1} docs grew: $a -> $b")
+      assert(b._3 <= a._3, s"stage ${b._1} tokens grew: $a -> $b")
+    }
+    // the dup injection guarantees the dedup stage strictly drops rows
+    // (every doc_id % 5 == 0 'en' survivor has an injected twin)
+    assert(rows(4)._2 < rows(3)._2)
+    // raw = documents + injected fifth
+    val d = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val n = d.count(); val n5 = d.filter(pmod($"doc_id", lit(5)) === 0).count()
+    assert(rows(0)._2 === n + n5)
+  }
+
+  // ---- executor-side trie build ----------------------------------
+
+  test("mentionsTrie builds the trie on executors (per-JVM broadcast cache), driver ships flat rows") {
+    val before = graft.link.TokenTrie.cacheSize
+    val pages = Seq(("u1", "alpha beta gamma"), ("u2", "beta gamma delta"))
+      .toDF("url", "text")
+    val dict = Seq(("beta gamma", "E1", "thing", 0))
+      .toDF("alias", "entity_id", "entity_label", "priority")
+    val m = graft.link.Linker.mentions(pages, dict)
+      .select("url", "pos").as[(String, Int)].collect().toSet
+    assert(m === Set(("u1", 1), ("u2", 0)))
+    // local mode: executor JVM == test JVM, so the lazily-built trie is
+    // observable in the cache (at least one new entry, bounded total)
+    assert(graft.link.TokenTrie.cacheSize >= math.min(before + 1, 1))
+    assert(graft.link.TokenTrie.cacheSize <= 4)
+  }
+}
