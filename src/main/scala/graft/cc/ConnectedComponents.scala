@@ -1,7 +1,8 @@
 package graft.cc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** GraphFrames-free connected components over an edge DataFrame
   * (north-rule stage 4: canonical-ID resolution for alias clusters).
@@ -89,14 +90,31 @@ object ConnectedComponents {
     * of scheduling latency are pure waste. Executor-side, no driver
     * collect; output identical to the distributed path (min-id roots,
     * union by min with path compression). */
+  /** Single-task union-find, dispatched on the vertex type: integral
+    * ids stay numeric so the component minimum matches the distributed
+    * path's numeric `min` (string union-find on longs would pick
+    * "1000005" < "5"); everything else goes through the string form
+    * the distributed path's string `min` agrees with. */
   private def localUnionFind(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    e.select(col("src"), col("dst")).as[(String, String)]
-      .coalesce(1)
+    e.schema("src").dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        localUF(e.select(col("src").cast("long"), col("dst").cast("long"))
+          .as[(Long, Long)])
+      case _ =>
+        localUF(e.select(col("src").cast("string"), col("dst").cast("string"))
+          .as[(String, String)])
+    }
+  }
+
+  private def localUF[T: Ordering](ds: Dataset[(T, T)])(
+      implicit enc: Encoder[(T, T)]): DataFrame = {
+    val ord = implicitly[Ordering[T]]
+    ds.coalesce(1)
       .mapPartitions { it =>
-        val parent = scala.collection.mutable.HashMap.empty[String, String]
-        def find(x: String): String = {
+        val parent = scala.collection.mutable.HashMap.empty[T, T]
+        def find(x: T): T = {
           var r = x
           while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
           var c = x
@@ -106,7 +124,7 @@ object ConnectedComponents {
         it.foreach { case (a, b) =>
           parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
           val ra = find(a); val rb = find(b)
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          if (ra != rb) { if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
         }
         parent.keysIterator.map(v => (v, find(v)))
       }

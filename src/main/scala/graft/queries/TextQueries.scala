@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.fixtures.Corpus
-import graft.textops.{DedupOps, TextOps}
+import graft.textops.{DedupOps, PiiOps, SampleOps, TextOps}
 import graft.queries.CoreQueries.tune
 
 /** Training-data pipeline queries over the `documents` table: token
@@ -249,6 +249,65 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("n_tokens"))
     }),
+    // Near-dup CLUSTERING (pair detection -> usable dedup decision):
+    // connected components over the MinHash pair graph; every doc gets
+    // its duplicate-cluster id (min reachable doc_id), cluster size,
+    // and the keep/drop bit. The injected +1000000 twins land in their
+    // origin doc's cluster; chains collapse transitively.
+    "q_dup_clusters" -> ((s, dir) => {
+      tune(s)
+      val dd = docsWithDups(s, dir)
+      DedupOps.dupClusters(
+        DedupOps.minhashNearDupPairs(dd, "doc_id", "text"), dd, "doc_id")
+    }),
+    // Token-budget mixture sampling (LLM data mixing): per source, keep
+    // docs in deterministic MINSTD-hash order until 800 tokens — the
+    // two-phase range-bucketed prefix sum (never a whole source in one
+    // window partition).
+    "q_mix_sample" -> ((s, dir) => {
+      tune(s)
+      SampleOps.budgetSample(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", "source", budgetTokens = 800L)
+    }),
+    // Per-stratum rate thinning: map-only deterministic hash filter,
+    // rate_milli derived from the source index (137k mod 700 + 100 —
+    // every source gets a distinct rate in [100, 800)).
+    "q_stratified_sample" -> ((s, dir) => {
+      tune(s)
+      val rate = pmod(substring(col("source"), 4, 10).cast("long") * 137,
+        lit(700L)) + 100L
+      SampleOps.stratifiedSample(
+        docs(s, dir).select(col("doc_id"), col("source")), "doc_id", rate)
+        .select("doc_id", "source")
+    }),
+    // PII redaction: deterministic synthetic emails/IPv4s appended per
+    // doc (counts vary 0-2 by doc_id residue), masked by the SAME
+    // Java-regex-and-RE2-safe patterns in both engines; the full
+    // redacted string is oracle-compared.
+    "q_pii_redact" -> ((s, dir) => {
+      tune(s)
+      val id = col("doc_id")
+      val t2 = concat(
+        col("text"),
+        when(pmod(id, lit(2)) === 0,
+          concat(lit(" user"), pmod(id, lit(97)).cast("string"),
+            lit("@mail"), pmod(id, lit(13)).cast("string"), lit(".org")))
+          .otherwise(lit("")),
+        when(pmod(id, lit(3)) === 0,
+          concat(lit(" from 10."), pmod(id, lit(256)).cast("string"),
+            lit("."), pmod(id * 7, lit(256)).cast("string"),
+            lit("."), pmod(id * 13, lit(256)).cast("string")))
+          .otherwise(lit("")),
+        when(pmod(id, lit(5)) === 0,
+          concat(lit(" and admin"), id.cast("string"), lit("@ex.org")))
+          .otherwise(lit("")))
+      docs(s, dir).select(col("doc_id"),
+        graft.textops.PiiOps.emailCount(t2).cast("long").as("n_emails"),
+        graft.textops.PiiOps.ipv4Count(t2).cast("long").as("n_ips"),
+        graft.textops.PiiOps.redact(t2).as("redacted"))
+    }),
     // The dedup family as typed KG edges (KgSchema near_dup_of:
     // document -> document with int overlap props) over the raw table.
     "q_dup_edges" -> ((s, dir) => {
@@ -488,6 +547,79 @@ object TextQueries {
        |FROM c GROUP BY 1""".stripMargin
   }
 
+  /** DuckDB mirror of DedupOps.dupClusters over the MinHash pairs: a
+    * genuine recursive-CTE reachability closure (min reachable doc_id =
+    * cluster id) — unlike q_cc's clique-structured graph, the near-dup
+    * pair graph has arbitrary chains, so the oracle iterates for real. */
+  private val dupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashSqlOver(dupsSql)}),
+       |e AS (SELECT id1 a, id2 b FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+       |verts AS (SELECT doc_id v FROM ($dupsSql)),
+       |reach(v, c) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT e.b, r.c FROM reach r JOIN e ON e.a = r.v),
+       |comp AS (SELECT v doc_id, min(c) cluster_id FROM reach GROUP BY 1)
+       |SELECT doc_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) cluster_size,
+       |       doc_id = cluster_id is_canonical
+       |FROM comp""".stripMargin
+
+  /** The MINSTD sample key, SampleOps.sampleKey verbatim. */
+  private val sampleKeySql = s"((doc_id % ${SampleOps.P}) * 48271) % ${SampleOps.P}"
+
+  /** DuckDB mirror of SampleOps.budgetSample(budget=800): ONE window
+    * cumsum per source in hash order — the semantics the two-phase
+    * bucketed engine plan must reproduce exactly. */
+  private val mixSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens,
+       |         $sampleKeySql h
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |           ROWS UNBOUNDED PRECEDING) cum_tokens
+       |  FROM d)
+       |SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) cum_tokens
+       |FROM c WHERE cum_tokens <= 800""".stripMargin
+
+  private val stratifiedSampleSql: String =
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ($sampleKeySql) % 1000 <
+       |      (CAST(substr(source, 4, 10) AS BIGINT) * 137) % 700 + 100""".stripMargin
+
+  /** DuckDB mirror of q_pii_redact: same synthetic PII injection, same
+    * pattern strings (Java-regex ∩ RE2 subset), explicit 'g' flag —
+    * RE2's regexp_replace is first-match-only by default. */
+  private val piiRedactSql: String = {
+    // DuckDB single-quoted literals pass backslashes through verbatim,
+    // so the Scala pattern strings embed as-is.
+    val em = PiiOps.EmailRe
+    val ip = PiiOps.Ipv4Re
+    s"""WITH t AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 2 = 0
+       |         THEN ' user' || (doc_id % 97) || '@mail' || (doc_id % 13) || '.org'
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 3 = 0
+       |         THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+       |              || '.' || ((doc_id * 13) % 256)
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0
+       |         THEN ' and admin' || doc_id || '@ex.org'
+       |         ELSE '' END t2
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t2, '$em')) AS BIGINT) n_emails,
+       |  CAST(len(regexp_extract_all(t2, '$ip')) AS BIGINT) n_ips,
+       |  regexp_replace(regexp_replace(t2, '$em', '<EMAIL>', 'g'),
+       |                 '$ip', '<IP>', 'g') redacted
+       |FROM t""".stripMargin
+  }
+
   private val filterFunnelSql: String =
     """WITH d AS (
       |  SELECT doc_id, text, lang FROM documents
@@ -521,6 +653,10 @@ object TextQueries {
       decontamSqlOver("SELECT doc_id, text FROM documents", 8, 200),
     "q_url_canon" -> urlCanonSql,
     "q_filter_funnel" -> filterFunnelSql,
+    "q_dup_clusters" -> dupClustersSql,
+    "q_mix_sample" -> mixSampleSql,
+    "q_stratified_sample" -> stratifiedSampleSql,
+    "q_pii_redact" -> piiRedactSql,
     "q_doc_tokens_bpe" -> bpeTokensSql,
     "q_minhash_neardup" -> minhashSql,
     // identical to q_minhash_neardup BY SHARED DEFINITION: the streamed

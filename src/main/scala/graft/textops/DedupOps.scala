@@ -364,4 +364,35 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
   }
+
+  /** Near-duplicate CLUSTERS with a canonical representative — the step
+    * after pair detection that an actual dedup run needs: near-dup is
+    * not transitive, so "keep one per pair" over chained pairs
+    * (A~B, B~C) either drops too much or keeps both ends of a chain.
+    * Connected components over the pair graph (the Kiveris et al.
+    * large-star/small-star engine this library already ships for
+    * canonical-ID resolution) give each doc its duplicate-cluster id =
+    * the MIN doc id reachable from it; the kept document is the
+    * cluster minimum (`is_canonical`), everything else is the drop
+    * list. Singletons — docs in no pair — are their own cluster of 1.
+    *
+    * Output: (doc_id, cluster_id, cluster_size, is_canonical).
+    *
+    * Scale: inherits the CC engine's posture (per-round star steps are
+    * groupBy-min on 8-byte keys with partial aggregation, O(log n)
+    * rounds); cluster_size is ONE window over cluster_id — near-dup
+    * clusters are small by construction (a pair graph thresholded at
+    * tau), so per-partition window state is bounded. */
+  def dupClusters(pairs: DataFrame, docs: DataFrame,
+                  idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    val verts = docs.select(col(idCol).as("v")).distinct()
+    graft.cc.ConnectedComponents.run(spark, edges, Some(verts))
+      .select(col("member").as("doc_id"), col("component").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
 }

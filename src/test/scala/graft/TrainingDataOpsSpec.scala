@@ -120,4 +120,90 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(graft.link.TokenTrie.cacheSize >= math.min(before + 1, 1))
     assert(graft.link.TokenTrie.cacheSize <= 4)
   }
+
+  // ---- near-dup clustering ----------------------------------------
+
+  test("dupClusters: chains collapse transitively, singletons self-cluster") {
+    // near-dup is NOT transitive: pairs form the chain 1~2~3 plus 5~6;
+    // docs 4 and 7 appear in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val docs = (1L to 7L).toDF("doc_id")
+    val r = graft.textops.DedupOps.dupClusters(pairs, docs, "doc_id")
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(1L) === ((1L, 3L, true)))
+    assert(r(2L) === ((1L, 3L, false)))
+    assert(r(3L) === ((1L, 3L, false)))  // 1 and 3 never paired directly
+    assert(r(4L) === ((4L, 1L, true)))
+    assert(r(5L) === ((5L, 2L, true)))
+    assert(r(6L) === ((5L, 2L, false)))
+    assert(r(7L) === ((7L, 1L, true)))
+  }
+
+  // ---- budget sampling --------------------------------------------
+
+  // MINSTD keys: k(1)=48271, k(100000)=532132706, k(66000)=1038402353
+  // -> sample order within a source is 1, 100000, 66000 (NOT id order)
+
+  test("budgetSample: cut happens in hash order, inclusive boundary") {
+    val d = Seq(
+      ("A", 66000L, 10L), ("A", 100000L, 5L), ("A", 1L, 3L),
+      ("B", 2L, 7L)
+    ).toDF("source", "doc_id", "n_tokens")
+    val r = graft.textops.SampleOps
+      .budgetSample(d, "doc_id", "n_tokens", "source", budgetTokens = 8L)
+      .select("source", "doc_id", "cum_tokens")
+      .as[(String, Long, Long)].collect().toSet
+    // A: cum 3 (id 1), 8 (id 100000, == budget kept), 18 (id 66000, cut)
+    assert(r === Set(("A", 1L, 3L), ("A", 100000L, 8L), ("B", 2L, 7L)))
+  }
+
+  test("budgetSample: bucket count never changes the sample") {
+    val d = Seq.tabulate(60) { i =>
+      (s"s${i % 3}", i.toLong * 7919L, (i % 9 + 1).toLong)
+    }.toDF("source", "doc_id", "n_tokens")
+    def run(b: Int) = graft.textops.SampleOps
+      .budgetSample(d, "doc_id", "n_tokens", "source", 40L, buckets = b)
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val one = run(1) // single bucket == the naive one-window semantics
+    assert(one.nonEmpty)
+    assert(run(64) === one)
+    assert(run(7) === one)
+  }
+
+  // ---- stratified sampling ----------------------------------------
+
+  test("stratifiedSample: strict-< milli threshold, rate 0 and 1000 ends") {
+    val d = Seq(1L, 2L, 3L).toDF("doc_id")
+    def keep(rate: Long) = graft.textops.SampleOps
+      .stratifiedSample(d, "doc_id", lit(rate))
+      .as[Long].collect().toSet
+    assert(keep(0L) === Set.empty)
+    assert(keep(1000L) === Set(1L, 2L, 3L))
+    // k(1) % 1000 = 271: kept at rate 272, dropped at 271 (strict <)
+    assert(keep(272L).contains(1L))
+    assert(!keep(271L).contains(1L))
+  }
+
+  // ---- PII redaction ----------------------------------------------
+
+  test("pii redact: emails and bare IPv4s masked, lookalikes survive") {
+    val d = Seq(
+      "mail a.b+c@x.org then 1.2.3.4 done",
+      "no pii here",
+      "ver 1.2.3.4567 is not an ip",      // 4th octet too long
+      "trailing dot x@y.org. stays"       // domain stops before the dot
+    ).toDF("text")
+    val r = d.select(
+        graft.textops.PiiOps.redact(col("text")).as("t"),
+        graft.textops.PiiOps.emailCount(col("text")).as("e"),
+        graft.textops.PiiOps.ipv4Count(col("text")).as("i"))
+      .as[(String, Int, Int)].collect()
+    assert(r(0) === (("mail <EMAIL> then <IP> done", 1, 1)))
+    assert(r(1) === (("no pii here", 0, 0)))
+    assert(r(2) === (("ver 1.2.3.4567 is not an ip", 0, 0)))
+    assert(r(3) === (("trailing dot <EMAIL>. stays", 1, 0)))
+  }
 }
