@@ -308,6 +308,26 @@ object TextQueries {
         graft.textops.PiiOps.ipv4Count(t2).cast("long").as("n_ips"),
         graft.textops.PiiOps.redact(t2).as("redacted"))
     }),
+    // The training-data FLAGSHIP: the full curation chain (quality
+    // gate -> exact dedup -> near-dup cluster canonical ->
+    // decontamination -> per-source token budget) over the
+    // dup-injected corpus, against the doc_id%37 benchmark slice.
+    // Every stage does real work here: injected twins die at exact
+    // dedup, organic near-dups at clustering, benchmark members (which
+    // self-flag at 1000 milli) at decontamination, and the 600-token
+    // budget cuts every source. One composed DuckDB oracle replays the
+    // whole chain.
+    "q_curated_corpus" -> ((s, dir) => {
+      tune(s)
+      val d0 = docs(s, dir).select("doc_id", "text", "source", "lang")
+      val d = d0.unionByName(
+        d0.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+            col("source"), col("lang")))
+      val bench = docs(s, dir).filter(pmod(col("doc_id"), lit(37)) === 0)
+        .select("doc_id", "text")
+      graft.textops.Curation.curate(d, bench)
+    }),
     // The dedup family as typed KG edges (KgSchema near_dup_of:
     // document -> document with int overlap props) over the raw table.
     "q_dup_edges" -> ((s, dir) => {
@@ -648,7 +668,75 @@ object TextQueries {
       |UNION ALL SELECT 3, 'stopword_quality', count(*), CAST(sum(n_tokens) AS BIGINT) FROM c WHERE f3
       |UNION ALL SELECT 4, 'exact_dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM c WHERE f4""".stripMargin
 
+  /** The composed curation-chain oracle: every stage of
+    * Curation.curate replayed in one DuckDB statement — quality gate,
+    * fingerprint exact dedup, nested minhash pair SQL + recursive-CTE
+    * cluster closure, 8-gram decontamination vs the doc_id%37 slice,
+    * and the 600-token per-source cumsum cut. */
+  private val curatedCorpusSql: String = {
+    val rolling8 = (0 until 8).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+      s"(($acc * 8191 + cs[i+$j]) % 2147483647)")
+    def shingles8(codesCte: String) =
+      s"SELECT doc_id, list_distinct(list_transform(generate_series(1, len(cs) - 7), " +
+        s"i -> $rolling8)) shc FROM $codesCte WHERE len(cs) >= 8"
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, text, source, lang FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text, source, lang FROM documents WHERE doc_id % 5 = 0),
+       |q AS (
+       |  SELECT doc_id, text, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens
+       |  FROM base
+       |  WHERE lang = 'en' AND len(string_split(text, ' ')) >= 30
+       |    AND len(list_filter(string_split(text, ' '),
+       |          t -> list_contains(['the','a','of','and','is'], t))) >= 2),
+       |f AS (
+       |  SELECT *, list_reduce([0] || list_transform(string_split(text, ' '),
+       |      t -> (ord(t[1])*7 + length(t)) % 1048576),
+       |      (a,b) -> (a*31+b) % 1048576) fp
+       |  FROM q),
+       |s2 AS (
+       |  SELECT doc_id, text, source, n_tokens FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY fp) minid FROM f)
+       |  WHERE doc_id = minid),
+       |pairs AS (
+       |${minhashSqlOver("SELECT doc_id, text FROM s2")}),
+       |e AS (SELECT id1 a, id2 b FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+       |reach(v, c) AS (
+       |  SELECT doc_id, doc_id FROM s2
+       |  UNION
+       |  SELECT e.b, r.c FROM reach r JOIN e ON e.a = r.v),
+       |comp AS (SELECT v doc_id, min(c) cid FROM reach GROUP BY 1),
+       |s3 AS (
+       |  SELECT s2.* FROM s2 JOIN comp
+       |    ON comp.doc_id = s2.doc_id AND comp.cid = s2.doc_id),
+       |codes3 AS (SELECT doc_id, ${codesSql(1048573L)} cs FROM s3),
+       |shc3 AS (${shingles8("codes3")}),
+       |benchd AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0),
+       |codesb AS (SELECT doc_id, ${codesSql(1048573L)} cs FROM benchd),
+       |shcb AS (${shingles8("codesb")}),
+       |bcode AS (SELECT DISTINCT unnest(shc) code FROM shcb),
+       |ex AS (SELECT doc_id, len(shc) n_grams, unnest(shc) code FROM shc3),
+       |agg AS (
+       |  SELECT ex.doc_id, max(ex.n_grams) n_grams,
+       |         sum(CASE WHEN b.code IS NULL THEN 0 ELSE 1 END) n_matched
+       |  FROM ex LEFT JOIN bcode b ON ex.code = b.code
+       |  GROUP BY 1),
+       |s4 AS (
+       |  SELECT s3.* FROM s3 JOIN agg ON agg.doc_id = s3.doc_id
+       |  WHERE floor(agg.n_matched * 1000 / agg.n_grams) < 200),
+       |c5 AS (
+       |  SELECT source, doc_id, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY source
+       |           ORDER BY $sampleKeySql, doc_id
+       |           ROWS UNBOUNDED PRECEDING) cum_tokens
+       |  FROM s4)
+       |SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) cum_tokens
+       |FROM c5 WHERE cum_tokens <= 600""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_curated_corpus" -> curatedCorpusSql,
     "q_decontaminate" ->
       decontamSqlOver("SELECT doc_id, text FROM documents", 8, 200),
     "q_url_canon" -> urlCanonSql,

@@ -32,7 +32,9 @@ object DumpPlans {
       "q_dominant_lang", "q_handles",
       // round 6
       "q_span_dedup", "q_doc_repetition", "q_user_sessions",
-      "q_schema_rollup", "q_doc_tokens_bpe")
+      "q_schema_rollup", "q_doc_tokens_bpe",
+      "q_decontaminate", "q_url_canon", "q_filter_funnel",
+      "q_mix_sample", "q_stratified_sample", "q_pii_redact")
     val sb = new StringBuilder
     names.foreach { n =>
       sb.append(s"===== $n =====\n")

@@ -187,6 +187,28 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(!keep(271L).contains(1L))
   }
 
+  // ---- curation flagship ------------------------------------------
+
+  test("curated corpus: every stage's invariant holds on the fixture") {
+    val r = graft.queries.TextQueries.queries("q_curated_corpus")(
+        spark, TestSpark.sf0001)
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .as[(String, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    // exact dedup: an injected +1000000 twin can never outrank its
+    // original (same text -> same fingerprint, min doc_id wins)
+    assert(r.forall(_._2 < 1000000L))
+    // decontamination: benchmark members self-flag at 1000 milli
+    assert(r.forall(_._2 % 37 != 0))
+    // budget: inclusive 600-token cut per source, cum consistent
+    assert(r.forall(_._4 <= 600L))
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sum === rows.map(_._4).max)
+    }
+    // quality gate: every survivor has >= 30 tokens
+    assert(r.forall(_._3 >= 30L))
+  }
+
   // ---- PII redaction ----------------------------------------------
 
   test("pii redact: emails and bare IPv4s masked, lookalikes survive") {
