@@ -186,9 +186,16 @@ object Bench {
     // counters are those of the median-time rep, so sec and counters
     // describe the SAME execution.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // SPARK_GRAFT_QUERIES=q_a,q_b overrides the headline list (e.g. to
+    // bench the curation family standalone). The override is marked in
+    // the JSON so a cross-round reader never mistakes its total for
+    // the standard headline total.
+    val queryOverride = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val queryList = queryOverride.getOrElse(headline)
     final case class Rep(sec: Double, cpuS: Double, shufWMb: Double, scanMb: Double)
     val results = (if (pipelineOnly) Seq.empty[String]
-                   else headline.filter(SparkEntry.queries.contains)).map { name =>
+                   else queryList.filter(SparkEntry.queries.contains)).map { name =>
       val repRows =
         try (0 until reps).map { _ =>
           graft.metrics.TaskCounters.drain(spark.sparkContext)
@@ -307,6 +314,7 @@ object Bench {
         f""""calib_ms":{"start":$calibStartMs%.0f,"mid":${chosenRep.calibPreMs}%.0f,""" +
         f""""end":$calibEndMs%.0f},""" +
         s""""calib_gate":$gateJson,"contended_reps":$contendedJson,""" +
+        s""""queries_override":${queryOverride.isDefined},""" +
         s""""sf":"$sfDir","cpus":$cpus,"mult":$mult,""" +
         s""""pipeline":{"n_pages":${pipe.nPages},""" +
         s""""n_triples":${pipe.nTriples},"n_nodes":${pipe.nNodes},""" +

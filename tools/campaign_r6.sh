@@ -27,8 +27,16 @@ for t in 2 8 32; do
     | sed 's/^\[info\] //' >> BENCH/raw_r6/scaling_x64.jsonl
 done
 
-# 4. Correctness at 10x gate scale: the FULL 87-query oracle suite at
-#    sf0.1 (driver gate runs sf0.01).
+# 4. Correctness at 10x gate scale: the FULL oracle suite at sf0.1
+#    (driver gate runs sf0.01; 95 queries as of late r6).
 SPARK_GRAFT_CPUS=32 sbt -batch \
   "runMain graft.Verify /root/testdata/sf0.1 /tmp/verify_sf01"
 python3 tools/compare.py /root/testdata/sf0.1 /tmp/verify_sf01
+
+# 5. Curation-family timings at sf0.1 (late-r6 additions; additive
+#    artifact — queries_override:true marks the total as non-headline).
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_QUERIES=q_dedup_exact,q_dup_clusters,q_decontaminate,q_filter_funnel,q_mix_sample,q_stratified_sample,q_pii_redact,q_url_canon,q_curated_corpus \
+  SPARK_GRAFT_CALIB_RETRIES=1 \
+  sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' \
+  | sed 's/^\[info\] //' > BENCH/raw_r6/curation_times.json
