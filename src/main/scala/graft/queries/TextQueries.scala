@@ -108,6 +108,16 @@ object TextQueries {
       tune(s)
       DedupOps.repeatedSpans(docsWithDups(s, dir), "doc_id", "text", k = 8)
     }),
+    // Span excision APPLIED (Lee et al. 2022 keep-one substring dedup):
+    // every repeated-8-gram occurrence except the global first is cut
+    // and the documents are rewritten; injected full-doc twins come
+    // back as empty text, originals untouched. The complete rewritten
+    // STRING is oracle-compared.
+    "q_span_excise" -> ((s, dir) => {
+      tune(s)
+      DedupOps.exciseRepeatedSpans(docsWithDups(s, dir), "doc_id", "text",
+        k = 8)
+    }),
     // Fully oracle-checked since the hash is a portable polynomial fold
     // (no xxhash64): DuckDB rebuilds signatures, banding, candidates and
     // the exact verification bit-for-bit.
@@ -668,6 +678,49 @@ object TextQueries {
       |UNION ALL SELECT 3, 'stopword_quality', count(*), CAST(sum(n_tokens) AS BIGINT) FROM c WHERE f3
       |UNION ALL SELECT 4, 'exact_dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM c WHERE f4""".stripMargin
 
+  /** DuckDB mirror of DedupOps.exciseRepeatedSpans(k): positional
+    * windows + df>=2 hot test (the spanSqlOver machinery), global-first
+    * keep-one via row_number over code, covered-index explode, token
+    * anti-join, ordered string_agg rebuild. */
+  private def exciseSqlOver(srcSql: String, k: Int): String = {
+    val rolling = (0 until k).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+      s"(($acc * 8191 + cs[i+$j]) % 2147483647)")
+    s"""WITH d AS (
+       |  $srcSql),
+       |codes AS (SELECT doc_id, ${codesSql(1048573L)} cs FROM d),
+       |pw AS (
+       |  SELECT doc_id, i - 1 AS pos, $rolling code
+       |  FROM (SELECT doc_id, cs, unnest(generate_series(1, len(cs) - ${k - 1})) i
+       |        FROM codes WHERE len(cs) >= $k)),
+       |hot AS (
+       |  SELECT code FROM (SELECT code, count(DISTINCT doc_id) df FROM pw GROUP BY 1)
+       |  WHERE df >= 2),
+       |occ AS (
+       |  SELECT doc_id, pos,
+       |         row_number() OVER (PARTITION BY code ORDER BY doc_id, pos) rn
+       |  FROM pw JOIN hot USING (code)),
+       |exd AS (
+       |  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + ${k - 1})) idx
+       |  FROM occ WHERE rn > 1),
+       |tok0 AS (
+       |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) i
+       |  FROM (SELECT doc_id, string_split(text, ' ') toks FROM d)),
+       |tok AS (SELECT doc_id, i - 1 idx, toks[i] tok FROM tok0),
+       |kept AS (
+       |  SELECT t.doc_id, t.idx, t.tok
+       |  FROM tok t LEFT JOIN exd e ON e.doc_id = t.doc_id AND e.idx = t.idx
+       |  WHERE e.idx IS NULL),
+       |agg AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) text_clean,
+       |         count(*) n_after
+       |  FROM kept GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(len(string_split(d.text, ' ')) AS BIGINT) n_before,
+       |       CAST(len(string_split(d.text, ' ')) - coalesce(a.n_after, 0) AS BIGINT) n_removed,
+       |       coalesce(a.text_clean, '') text_clean
+       |FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+  }
+
   /** The composed curation-chain oracle: every stage of
     * Curation.curate replayed in one DuckDB statement — quality gate,
     * fingerprint exact dedup, nested minhash pair SQL + recursive-CTE
@@ -742,6 +795,7 @@ object TextQueries {
     "q_url_canon" -> urlCanonSql,
     "q_filter_funnel" -> filterFunnelSql,
     "q_dup_clusters" -> dupClustersSql,
+    "q_span_excise" -> exciseSqlOver(dupsSql, 8),
     "q_mix_sample" -> mixSampleSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_pii_redact" -> piiRedactSql,

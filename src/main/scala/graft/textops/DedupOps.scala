@@ -278,6 +278,60 @@ object DedupOps {
       .select(col("doc_id"), col("span_start"), col("span_len"))
   }
 
+  /** KEEP-ONE SPAN EXCISION — the output stage of substring-level
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": remove every repeated span occurrence
+    * EXCEPT the first): a k-token window occurrence is excised iff its
+    * code is hot (>= 2 distinct docs) AND the occurrence is not the
+    * globally first one (min (doc_id, pos) per code — deterministic,
+    * oracle-replicable). A token survives iff no excised window covers
+    * it; documents are rewritten with the survivors in order. Exact
+    * full-document duplicates therefore come back as text_clean = ''
+    * while the min-doc_id original is untouched.
+    *
+    * Output: (doc_id, n_before, n_removed, text_clean).
+    *
+    * Scale: the keep-one pick is a row_number on 8-byte codes; the
+    * covered-index set explodes each excised occurrence into k rows
+    * (occurrences are hot windows only — never the whole corpus); the
+    * rewrite is token-grain posexplode -> left_anti on (doc_id, idx)
+    * -> re-aggregate ordered by idx. Re-aggregation state per key is
+    * ONE document's tokens — the same bound as holding the document
+    * row itself. An HOF-filter alternative (no token shuffle) was
+    * rejected: array_contains per token is O(n_tokens × n_excised) =
+    * quadratic on heavily-duplicated docs. */
+  def exciseRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = positionalShingleCodes(docs, idCol, textCol, k)
+    val hot = pos.select(col("doc_id"), col("code")).distinct()
+      .groupBy(col("code")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("code"))
+    val occ = pos.join(hot, Seq("code"), "left_semi")
+    val firstW = Window.partitionBy(col("code"))
+      .orderBy(col("doc_id"), col("pos"))
+    val excised = occ
+      .withColumn("rn", row_number().over(firstW))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("idx"))
+      .distinct()
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("idx", "tok")))
+    val kept = toks.join(excised, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          s => s.getField("tok")), " ").as("text_clean"),
+        count(lit(1)).as("n_after"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_before"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_before"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Benchmark k-gram DECONTAMINATION (the eval-overlap filter every
     * public training-data pipeline runs before training — GPT-3 appx C
     * / PaLM-style 8-gram overlap): per training doc, how many of its

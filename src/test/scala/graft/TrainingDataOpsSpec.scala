@@ -187,6 +187,26 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(!keep(271L).contains(1L))
   }
 
+  // ---- span excision ----------------------------------------------
+
+  test("exciseRepeatedSpans: keep-one — first occurrence survives, rest cut") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),  // owns the global-first windows
+      (2L, "x y a b c d z w"),  // shares span "a b c d" -> excised here
+      (3L, "a b c d e f g h"),  // exact twin -> fully excised
+      (4L, "p q r")             // no repeats -> untouched
+    ).toDF("doc_id", "text")
+    val r = graft.textops.DedupOps
+      .exciseRepeatedSpans(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "n_before", "n_removed", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(1L) === ((8L, 0L, "a b c d e f g h")))
+    assert(r(2L) === ((8L, 4L, "x y z w")))
+    assert(r(3L) === ((8L, 8L, "")))
+    assert(r(4L) === ((3L, 0L, "p q r")))
+  }
+
   // ---- curation flagship ------------------------------------------
 
   test("curated corpus: every stage's invariant holds on the fixture") {
