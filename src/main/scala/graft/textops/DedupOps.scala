@@ -291,7 +291,9 @@ object DedupOps {
     *
     * Output: (doc_id, n_before, n_removed, text_clean).
     *
-    * Scale: the keep-one pick is a row_number on 8-byte codes; the
+    * Scale: the keep-one pick is an argmin aggregate on 8-byte codes
+    * (map-side partial — a million-occurrence stop-phrase code never
+    * concentrates in one sort partition); the
     * covered-index set explodes each excised occurrence into k rows
     * (occurrences are hot windows only — never the whole corpus); the
     * rewrite is token-grain posexplode -> left_anti on (doc_id, idx)
@@ -302,17 +304,20 @@ object DedupOps {
     * quadratic on heavily-duplicated docs. */
   def exciseRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                           k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pos = positionalShingleCodes(docs, idCol, textCol, k)
     val hot = pos.select(col("doc_id"), col("code")).distinct()
       .groupBy(col("code")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select(col("code"))
     val occ = pos.join(hot, Seq("code"), "left_semi")
-    val firstW = Window.partitionBy(col("code"))
-      .orderBy(col("doc_id"), col("pos"))
-    val excised = occ
-      .withColumn("rn", row_number().over(firstW))
-      .filter(col("rn") > 1)
+    // global-first pick as an ARGMIN AGGREGATE, not a per-code
+    // row_number window: a stop-phrase window code can have millions of
+    // occurrences, and a window sorts them all in one partition —
+    // min(struct) partially aggregates map-side, so the hot code never
+    // concentrates
+    val first = occ.groupBy(col("code"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keep"))
+    val excised = occ.join(first, Seq("code"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("keep"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("idx"))
       .distinct()
