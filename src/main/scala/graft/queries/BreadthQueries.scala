@@ -52,6 +52,17 @@ object BreadthQueries {
       tune(s)
       Corpus.citesEdges(s, dir)
     }),
+    // Entity salience = exact fixed-point integer PageRank over the
+    // citation graph (graph.PageRank — bit-identical at any
+    // parallelism; the oracle replays all five rounds as generated
+    // unrolled CTEs with the same integer-div transfer rule).
+    "q_salience" -> ((s, dir) => {
+      tune(s)
+      graft.graph.PageRank.salience(
+        Corpus.citesEdges(s, dir)
+          .select(col("subject_id").as("src"), col("object_id").as("dst")),
+        iters = SalienceIters)
+    }),
     "q_touched" -> ((s, dir) => {
       tune(s)
       Corpus.touchedEdges(s, dir)
@@ -167,7 +178,48 @@ object BreadthQueries {
       |    t -> (ord(t[1])*7 + length(t)) % 1048576),
       |    (a,b) -> (a*31+b) % 1048576)""".stripMargin
 
+  /** Rounds of integer PageRank in q_salience — shared by the query
+    * and its generated oracle. */
+  private val SalienceIters = 5
+
+  /** DuckDB mirror of graph.PageRank.salience over the citation graph:
+    * the five rounds are GENERATED as unrolled CTEs (the hashParams
+    * pattern — the oracle derives from the same constants as the
+    * engine), each applying the identical integer transfer rule
+    * (score·85) // (100·outdeg) with base 150000; `//` (DuckDB) and
+    * `div` (Spark) agree on positive BIGINTs, and the per-node sum is
+    * exact integers so no float-order caveat exists. s.score stays
+    * CAST to BIGINT each round because DuckDB SUM(BIGINT) is HUGEINT. */
+  private val salienceSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH f AS (
+       |  SELECT doc_id, $fpSql fp,
+       |         (SELECT count(*) FROM documents) n
+       |  FROM documents),
+       |e AS (
+       |  SELECT 'DOC:'||doc_id src, 'DOC:'||(fp % n) dst FROM f
+       |  WHERE fp % n <> doc_id),
+       |nodes AS (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src id FROM e UNION ALL SELECT dst FROM e)),
+       |od AS (SELECT src, count(*) deg FROM e GROUP BY src),
+       |s0 AS (SELECT id, CAST(1000000 AS BIGINT) score FROM nodes)""".stripMargin
+    for (i <- 1 to SalienceIters) {
+      sb ++= s""",
+       |s$i AS (
+       |  SELECT n.id,
+       |         CAST(150000 + COALESCE(c.m, 0) AS BIGINT) score
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst id, SUM((s.score * 85) // (100 * od.deg)) m
+       |    FROM e JOIN s${i - 1} s ON s.id = e.src JOIN od ON od.src = e.src
+       |    GROUP BY e.dst) c ON c.id = n.id)""".stripMargin
+    }
+    sb ++= s"\nSELECT id node_id, score salience FROM s$SalienceIters"
+    sb.toString
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_salience" -> salienceSql,
     // Both co-occurrence oracles model the engine's bounded-posting df
     // cap (CoOccurrenceMaxDf = 65536): items hotter than the cap leave
     // the pair universe — same modeling as the ngram maxDf oracle.

@@ -46,6 +46,25 @@ object SimQueries {
         nprobe = IvfNprobe, maxList = IvfMaxList,
         centroids = Some(graft.sim.Ivf.fixedCentroids(IvfC, 64)))
     }),
+    // IVF-SQ8: the SAME fixed-centroid coarse probe as q_knn_ivf,
+    // candidates re-scored with the int8-quantized cosine (exact
+    // integer dots) — 64 B/vector, the FAISS SQ8 deployment shape.
+    "q_knn_sq8" -> ((s, dir) => {
+      tune(s)
+      graft.sim.Quant.ivfTopKSq8(emb(s, dir), k = 5,
+        nprobe = IvfNprobe, maxList = IvfMaxList,
+        centroids = graft.sim.Ivf.fixedCentroids(IvfC, 64))
+    }),
+    // IVF-PQ: coarse probe + asymmetric-distance scoring against
+    // 8-byte product-quantizer codes (closed-form codebooks — the
+    // trained-offline artifact shape) — THE public 10^12-vector ANN
+    // design, fully oracle-checked.
+    "q_knn_pq" -> ((s, dir) => {
+      tune(s)
+      graft.sim.Quant.ivfTopKPq(emb(s, dir), k = 5,
+        nprobe = IvfNprobe, maxList = IvfMaxList,
+        centroids = graft.sim.Ivf.fixedCentroids(IvfC, 64))
+    }),
     "q_cosine_neardup" -> ((s, dir) => {
       tune(s)
       // integer outputs only (sim column would be float-eps fragile)
@@ -138,16 +157,17 @@ object SimQueries {
        |WHERE rank <= $k""".stripMargin
   }
 
-  /** DuckDB mirror of Ivf.ivfTopK over fixed formula centroids: the
-    * squared-L2 distance to centroid j is the SAME sequential double
-    * fold as the native CentroidDists kernel (seed 0.0, term order d =
-    * 1..dim, centroid value = exact integer mix / 2^19 − 1); assignment
-    * is the first minimum (ORDER BY dist, j), lists are capped at
-    * maxList by (cid, neighbor_id) row_number, probes are the nprobe
-    * nearest centroids, and candidates are scored with the identical
-    * dot/norm arithmetic as the LSH oracle. */
-  private val knnIvfSql: String = {
-    val dim = 64; val k = 5
+  /** Shared oracle scaffolding for ALL THREE IVF paths (exact, SQ8,
+    * PQ-ADC): embeddings CTE, centroid-distance arms, first-min list
+    * assignment, the maxList cap and the nprobe probe — the mirror of
+    * Ivf.ivfCandidates. The squared-L2 distance to centroid j is the
+    * SAME sequential double fold as the native CentroidDists kernel
+    * (seed 0.0, term order d = 1..dim, centroid value = exact integer
+    * mix / 2^19 − 1); assignment is the first minimum (ORDER BY dist,
+    * j), lists are capped at maxList by (cid, neighbor_id) row_number.
+    * One builder, so the probe semantics cannot drift between the
+    * three oracles. */
+  private def ivfCandCtes(dim: Int): String = {
     def distSql(j: Int): String = {
       val off = j * 40503L
       val cent = s"((d * 2654435761 + $off) % 1048576 / 524288.0 - 1.0)"
@@ -157,7 +177,7 @@ object SimQueries {
     val arms = (1 to IvfC).map(j =>
       s"SELECT vec_id, $j j, ${distSql(j)} dist FROM c")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+    s"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
        |dd AS (
        |  $arms),
        |pr AS (
@@ -174,7 +194,15 @@ object SimQueries {
        |cand AS (
        |  SELECT DISTINCT p.vec_id, l.neighbor_id
        |  FROM probes p JOIN lists l
-       |    ON l.cid = p.cid AND l.neighbor_id <> p.vec_id),
+       |    ON l.cid = p.cid AND l.neighbor_id <> p.vec_id)""".stripMargin
+  }
+
+  /** DuckDB mirror of Ivf.ivfTopK over fixed formula centroids:
+    * [[ivfCandCtes]] candidates scored with the identical dot/norm
+    * arithmetic as the LSH oracle. */
+  private val knnIvfSql: String = {
+    val dim = 64; val k = 5
+    s"""WITH ${ivfCandCtes(dim)},
        |scored AS (
        |  SELECT cd.vec_id, cd.neighbor_id,
        |    ${dotSql("q.e", "a.e", dim)}
@@ -186,6 +214,73 @@ object SimQueries {
        |  SELECT vec_id, neighbor_id,
        |         row_number() OVER (PARTITION BY vec_id
        |           ORDER BY sim DESC, neighbor_id) rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** DuckDB mirror of Quant.ivfTopKSq8: the same [[ivfCandCtes]]
+    * probe, candidates scored with the int8-quantized cosine — the
+    * floor-based rounding rule and the EXACT integer dot reproduce in
+    * any engine (sum order irrelevant on integers), and the only
+    * doubles are two sqrt's and one division, IEEE-identical. */
+  private val knnSq8Sql: String = {
+    val dim = 64; val k = 5
+    def intDotSql(a: String, b: String): String =
+      s"list_reduce([CAST(0 AS BIGINT)] || list_transform(generate_series(1, $dim), " +
+        s"i -> $a[i]*$b[i]), (x, y) -> x + y)"
+    s"""WITH ${ivfCandCtes(dim)},
+       |qz AS (
+       |  SELECT vec_id,
+       |         list_transform(e, x -> CAST(greatest(least(floor(x*127.0 + 0.5), 127), -127) AS BIGINT)) z
+       |  FROM c),
+       |zn AS (SELECT vec_id, z, ${intDotSql("z", "z")} sd FROM qz),
+       |scored AS (
+       |  SELECT cd.vec_id, cd.neighbor_id,
+       |    CAST(${intDotSql("q.z", "a.z")} AS DOUBLE) / (sqrt(q.sd) * sqrt(a.sd)) sim
+       |  FROM cand cd JOIN zn q ON q.vec_id = cd.vec_id
+       |  JOIN zn a ON a.vec_id = cd.neighbor_id)
+       |SELECT vec_id, rank, neighbor_id FROM (
+       |  SELECT vec_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY sim DESC, neighbor_id) rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** DuckDB mirror of Quant.ivfTopKPq: [[ivfCandCtes]] probe, PQ
+    * encoding as the per-(vec, subspace) first-min codeword over the
+    * closed-form codebook (the CentroidDists fold, seed 0.0, d
+    * sequential), ADC scoring as the same fold over all 64 dims with
+    * the codebook value reconstructed from the neighbor's code. */
+  private val knnPqSql: String = {
+    val dim = 64; val k = 5
+    val m = graft.sim.Quant.PqM; val ks = graft.sim.Quant.PqKs
+    val sub = graft.sim.Quant.PqSubDim
+    def cbSql(gdExpr: String, jExpr: String): String =
+      s"(($gdExpr * 2654435761 + $jExpr * 40503) % 1048576 / 524288.0 - 1.0)"
+    val subDiff = s"(c.e[g1.m*$sub+dl] - ${cbSql(s"(g1.m*$sub+dl)", "g2.j")})"
+    val adcDiff = s"(q.e[gd] - ${cbSql("gd", s"a.pc[((gd-1)//$sub)+1]")})"
+    s"""WITH ${ivfCandCtes(dim)},
+       |pd AS (
+       |  SELECT c.vec_id, g1.m, g2.j,
+       |    list_reduce([0.0] || list_transform(generate_series(1, $sub),
+       |      dl -> $subDiff * $subDiff), (x, y) -> x + y) dist
+       |  FROM c, generate_series(0, ${m - 1}) g1(m), generate_series(1, $ks) g2(j)),
+       |pcodes AS (
+       |  SELECT vec_id, list(j ORDER BY m) pc FROM (
+       |    SELECT vec_id, m, j,
+       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) rn
+       |    FROM pd) WHERE rn = 1 GROUP BY vec_id),
+       |scored AS (
+       |  SELECT cd.vec_id, cd.neighbor_id,
+       |    list_reduce([0.0] || list_transform(generate_series(1, $dim),
+       |      gd -> $adcDiff * $adcDiff), (x, y) -> x + y) dist
+       |  FROM cand cd JOIN c q ON q.vec_id = cd.vec_id
+       |  JOIN pcodes a ON a.vec_id = cd.neighbor_id)
+       |SELECT vec_id, rank, neighbor_id FROM (
+       |  SELECT vec_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY dist, neighbor_id) rank
        |  FROM scored)
        |WHERE rank <= $k""".stripMargin
   }
@@ -214,6 +309,8 @@ object SimQueries {
     "q_knn_lsh" -> knnLshSql,
     "q_cosine_neardup_lsh" -> cosineNearDupLshSql,
     "q_knn_ivf" -> knnIvfSql,
+    "q_knn_sq8" -> knnSq8Sql,
+    "q_knn_pq" -> knnPqSql,
     "q_knn_cosine" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
         |q AS (SELECT * FROM c WHERE vec_id % 5 = 0)

@@ -110,25 +110,15 @@ object Ivf {
                       probeCids: Seq[Int]): DataFrame =
     spark.read.parquet(path).filter(col("cid").isin(probeCids: _*))
 
-  /** IVF approximate cosine top-k over `corpus` (id, emb): train (or
-    * reuse) centroids, assign inverted lists, probe the `nprobe`
-    * nearest lists per query, score candidates exactly.
-    *
-    * `c` <= 0 derives the centroid count from the corpus size via
-    * [[autoC]](n, targetList). `maxList` truncates oversize inverted
-    * lists deterministically (row_number by id — the skew guard: a hot
-    * list otherwise goes quadratic in the probe join); drops are
-    * logged, never silent. */
-  def ivfTopK(corpus: DataFrame, dim: Int, k: Int,
-              c: Int = 0, iters: Int = 5, nprobe: Int = 8,
-              targetList: Long = 2048L, maxList: Int = 4096,
-              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
-    // With explicit centroids the count() sizing action is skipped
-    // entirely; autoC only runs when we must also train.
-    val cents = centroids.getOrElse {
-      val cc = if (c > 0) c else autoC(corpus.count(), targetList)
-      trainCentroids(corpus, dim, cc, iters)
-    }
+  /** The shared IVF probe machinery: assign capped inverted lists,
+    * probe the `nprobe` nearest lists per query, and return the deduped
+    * candidate (vec_id, neighbor_id) pairs — materialized, with every
+    * cached intermediate released. [[ivfTopK]] scores these exactly;
+    * the quantized variants ([[Quant.ivfTopKSq8]], [[Quant.ivfTopKPq]])
+    * score the SAME candidates with compressed arithmetic, so all three
+    * share one probe plan and differ only in the scoring expression. */
+  def ivfCandidates(corpus: DataFrame, cents: Array[Array[Double]],
+                    nprobe: Int, maxList: Int): DataFrame = {
     // ONE pass computes everything derived from the distance array: the
     // nprobe nearest centroid ids, sorted — list assignment is its
     // first element (argmin == nearest probe). Persisted, because three
@@ -163,6 +153,29 @@ object Ivf {
       .localCheckpoint(true)
     rankedL.unpersist(false)
     probed.unpersist(false)
+    cand
+  }
+
+  /** IVF approximate cosine top-k over `corpus` (id, emb): train (or
+    * reuse) centroids, assign inverted lists, probe the `nprobe`
+    * nearest lists per query, score candidates exactly.
+    *
+    * `c` <= 0 derives the centroid count from the corpus size via
+    * [[autoC]](n, targetList). `maxList` truncates oversize inverted
+    * lists deterministically (row_number by id — the skew guard: a hot
+    * list otherwise goes quadratic in the probe join); drops are
+    * logged, never silent. */
+  def ivfTopK(corpus: DataFrame, dim: Int, k: Int,
+              c: Int = 0, iters: Int = 5, nprobe: Int = 8,
+              targetList: Long = 2048L, maxList: Int = 4096,
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    // With explicit centroids the count() sizing action is skipped
+    // entirely; autoC only runs when we must also train.
+    val cents = centroids.getOrElse {
+      val cc = if (c > 0) c else autoC(corpus.count(), targetList)
+      trainCentroids(corpus, dim, cc, iters)
+    }
+    val cand = ivfCandidates(corpus, cents, nprobe, maxList)
     val nrm = corpus.select(col("id"), col("emb"), Knn.norm(col("emb")).as("n"))
     val scored = cand
       .join(nrm.select(col("id").as("vec_id"), col("emb").as("qe"), col("n").as("qn")), "vec_id")
