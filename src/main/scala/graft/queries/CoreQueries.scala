@@ -39,6 +39,56 @@ object CoreQueries {
       Corpus.pages(s, dir)
         .select(col("url"), HtmlText.htmlText(col("html")).as("text"))
     }),
+    // Stage 0-ingest over the REAL webtext wire format: the corpus
+    // serialized as uncompressed WARC (response records wrapped in an
+    // HTTP envelope + a warcinfo record per partition), re-read with
+    // the marker-split distributed reader, envelope stripped, text
+    // extracted from the html bytes. Every 101st record is written
+    // with a truncated Content-Length and must be DROPPED (the source
+    // skip-bad-record contract) — the oracle excludes those orders, so
+    // both over-keeping and over-dropping fail the hash compare.
+    "q_warc_read" -> ((s, dir) => {
+      tune(s)
+      val recs = Corpus.pages(s, dir)
+        .select(
+          col("url"),
+          date_format(col("warc_ts"), "yyyy-MM-dd'T'00:00:00'Z'").as("wdate"),
+          concat(
+            lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n"),
+            decode(col("html"), "UTF-8")).as("payload"))
+        .withColumn("plen", octet_length(col("payload")).cast("long"))
+        .withColumn("decl",
+          when(substring(col("url"), 16, 32).cast("long") % 101 === 0,
+            col("plen") - 7).otherwise(col("plen")))
+        .select(concat(
+          lit("WARC/1.0\r\n"),
+          lit("WARC-Type: response\r\n"),
+          lit("WARC-Target-URI: "), col("url"), lit("\r\n"),
+          lit("WARC-Date: "), col("wdate"), lit("\r\n"),
+          lit("Content-Type: application/http; msgtype=response\r\n"),
+          lit("Content-Length: "), col("decl"), lit("\r\n\r\n"),
+          col("payload"), lit("\r\n\r\n")).as("value"))
+      val info = s.range(1).select(concat(
+        lit("WARC/1.0\r\n"),
+        lit("WARC-Type: warcinfo\r\n"),
+        lit("Content-Type: application/warc-fields\r\n"),
+        lit("Content-Length: 25\r\n\r\n"),
+        lit("software: graft-synth 1.0"), lit("\r\n\r\n")).as("value"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_warc_" +
+        s.sparkContext.applicationId
+      recs.unionByName(info).coalesce(4).write.mode("overwrite").text(path)
+      val out = graft.sources.Warc.read(s, path)
+        .filter(col("warc_type") === "response" && col("http_status") === "200")
+        .select(
+          col("target_uri").as("url"),
+          col("warc_date").as("fetched_at"),
+          HtmlText.htmlText(encode(col("body"), "UTF-8")).as("text"))
+        .localCheckpoint(true)
+      val d = new java.io.File(path)
+      Option(d.listFiles()).foreach(_.foreach(_.delete()))
+      d.delete()
+      out
+    }),
     // Stage 2a: dictionary rank-1 resolution (priority fallback).
     "q_link_dict" -> ((s, dir) => {
       tune(s)
@@ -567,6 +617,14 @@ object CoreQueries {
         |SELECT 'NATION:' || n_nationkey, 'in_region', 'REGION:' || n_regionkey FROM nation""".stripMargin,
     "q_pages_text" -> (pageTextSql.replace("AS text", "AS text, 'en' AS lang")),
     "q_extract_text" -> pageTextSql,
+    // the WARC round-trip must reproduce the extracted corpus EXCEPT
+    // the deliberately-corrupted every-101st record, which the reader's
+    // Content-Length verification must drop
+    "q_warc_read" ->
+      s"""SELECT url, fetched_at, text FROM (
+         |${pageTextSql.replace("AS text",
+             "AS text, strftime(o.o_orderdate, '%Y-%m-%dT00:00:00Z') AS fetched_at")}
+         |) WHERE CAST(substring(url, 16) AS BIGINT) % 101 <> 0""".stripMargin,
     "q_link_dict" ->
       """SELECT p_name AS alias, 'PARTRAW:' || min(p_partkey) AS entity_id,
         |       'product' AS entity_label
