@@ -79,6 +79,18 @@ object SimQueries {
       Knn.lshNearDupPairs(emb(s, dir), tau = 0.30,
         nPlanes = 6, nTables = 8, maxBucket = 4096)
     }),
+    // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
+    // nearest-fixed-centroid assignment bounds the pair search the way
+    // LSH buckets do, and each duplicate pair keeps the member FARTHER
+    // from its centroid. Assignment, cluster cap, threshold and keep
+    // rule are all integer/sequential-double arithmetic: fully
+    // oracle-checked (the cap is exercised at sf0.01: 500 vecs / 16
+    // clusters vs cap 24).
+    "q_semdedup" -> ((s, dir) => {
+      tune(s)
+      graft.sim.SemDedup.semDedup(emb(s, dir),
+        c = SemC, dim = 64, tau = SemTau, maxCluster = SemMaxCluster)
+    }),
     // S4: embedding scan with validity filter (reference: keep iff
     // count_nonzero(~isnan)==dim, uniprot_adapter.py:384-422).
     "q_embedding_valid" -> ((s, dir) => {
@@ -94,6 +106,58 @@ object SimQueries {
   private val IvfC = 16
   private val IvfNprobe = 4
   private val IvfMaxList = 4096
+
+  /** q_semdedup parameters, shared by the query and its oracle SQL. */
+  private val SemC = 16
+  private val SemTau = 0.30
+  private val SemMaxCluster = 24
+
+  /** DuckDB mirror of SemDedup.semDedup: the same fixed-centroid
+    * assignment arms as [[ivfCandCtes]], the deterministic cluster cap,
+    * the within-cluster pair threshold, and the keep-farther-from-
+    * centroid rule — the centroid-similarity comparand rebuilt with the
+    * identical closed-form centroid (cid as a column inside the
+    * formula) and the identical sequential double fold. */
+  private val semDedupSql: String = {
+    val dim = 64
+    def distSql(j: Int): String = {
+      val off = j * 40503L
+      val cent = s"((d * 2654435761 + $off) % 1048576 / 524288.0 - 1.0)"
+      s"list_reduce([0.0] || list_transform(generate_series(1, $dim), " +
+        s"d -> (e[d] - $cent) * (e[d] - $cent)), (a, b) -> a + b)"
+    }
+    val centDot =
+      s"list_reduce([0.0] || list_transform(generate_series(1, $dim), " +
+        s"d -> e[d] * ((d * 2654435761 + cid * 40503) % 1048576 / 524288.0 - 1.0)), " +
+        "(x, y) -> x + y)"
+    val arms = (1 to SemC).map(j =>
+      s"SELECT vec_id, $j j, ${distSql(j)} dist FROM c")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |dd AS (
+       |  $arms),
+       |pr AS (
+       |  SELECT vec_id, j,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) rn
+       |  FROM dd),
+       |asg AS (
+       |  SELECT vec_id, j cid,
+       |         row_number() OVER (PARTITION BY j ORDER BY vec_id) lrn
+       |  FROM pr WHERE rn = 1),
+       |capped AS (
+       |  SELECT a.cid, a.vec_id, c.e,
+       |         $centDot / sqrt(${dotSql("e", "e", dim)}) cs
+       |  FROM asg a JOIN c ON c.vec_id = a.vec_id
+       |  WHERE a.lrn <= $SemMaxCluster),
+       |drops AS (
+       |  SELECT DISTINCT CASE WHEN a.cs > b.cs THEN a.vec_id
+       |                       ELSE b.vec_id END id
+       |  FROM capped a JOIN capped b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.e, b.e) >= $SemTau)
+       |SELECT vec_id AS id, cid FROM asg
+       |WHERE vec_id NOT IN (SELECT id FROM drops)""".stripMargin
+  }
 
   /** DuckDB mirror of Knn.srpSignature for table `t`: per plane p the
     * projection is an ORDERED left-fold sum (list_reduce seeded [0.0] =
@@ -308,6 +372,7 @@ object SimQueries {
   val oracleSql: Map[String, String] = Map(
     "q_knn_lsh" -> knnLshSql,
     "q_cosine_neardup_lsh" -> cosineNearDupLshSql,
+    "q_semdedup" -> semDedupSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_sq8" -> knnSq8Sql,
     "q_knn_pq" -> knnPqSql,

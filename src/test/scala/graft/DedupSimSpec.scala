@@ -237,6 +237,42 @@ class DedupSimSpec extends AnyFunSuite {
       assert(got == want, txt)
     }
   }
+
+  test("semDedup: identical vectors dedup to the lower id; dropped ids are true near-dups") {
+    val corpus = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    // pick a vector with NO near-dup partner at tau, clone it under a
+    // fresh high id: same cluster, cosine = 1, equal centroid sim
+    val pairedIds = Knn.cosineNearDupPairs(corpus, tau = 0.30)
+      .select("id1", "id2").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    val loner = corpus.select("id").as[Long].collect()
+      .filterNot(pairedIds).min
+    val clone = corpus.filter(col("id") === loner)
+      .select((col("id") + 100000).as("id"), col("emb"))
+    val kept = graft.sim.SemDedup.semDedup(corpus.unionByName(clone),
+        c = 16, dim = 64, tau = 0.30, maxCluster = 100000)
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(loner) && !kept.contains(loner + 100000),
+      "tie on centroid similarity must keep the lower id")
+    // every dropped id really has a near-dup partner (precision exact)
+    val all = corpus.select("id").as[Long].collect().toSet + (loner + 100000)
+    val dropped = all -- kept
+    assert(dropped.subsetOf(pairedIds + loner + (loner + 100000)),
+      "semDedup dropped a row with no true near-dup partner")
+  }
+
+  test("semDedup: over-cap rows bypass dedup and are kept") {
+    val corpus = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val keptTight = graft.sim.SemDedup.semDedup(corpus,
+      c = 16, dim = 64, tau = 0.30, maxCluster = 4)
+    val keptWide = graft.sim.SemDedup.semDedup(corpus,
+      c = 16, dim = 64, tau = 0.30, maxCluster = 100000)
+    // the cap only reduces how many rows are ELIGIBLE to be dropped
+    assert(keptTight.count() >= keptWide.count())
+    assert(keptTight.select("id").collect().length == keptTight.count().toInt)
+  }
 }
 
 /** Deterministic 64-dim corpus for LSH tests. */
