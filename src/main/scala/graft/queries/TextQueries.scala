@@ -26,6 +26,18 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hashed-feature linear quality classifier (fastText hashing
+    // trick): closed-form milli-weights, integer score sum, keep iff
+    // sum >= 0 — the learned-filter stage of the CCNet/GPT-3 pipeline
+    // with the weight table as a formula both engines rebuild.
+    "q_quality_linear" -> ((s, dir) => {
+      tune(s)
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextOps.qualityScoreMilli(col("text")).as("score_milli"))
+        .withColumn("verdict",
+          when(col("score_milli") >= 0, lit("keep")).otherwise(lit("drop")))
+    }),
     "q_doc_stats" -> ((s, dir) => {
       tune(s)
       val t = TextOps.tokens(col("text"))
@@ -809,6 +821,15 @@ object TextQueries {
     "q_span_dedup" -> spanSqlOver(dupsSql, 8),
     "q_dup_edges" -> dupEdgesSql,
     "q_simhash_neardup" -> simhashSql,
+    "q_quality_linear" ->
+      s"""SELECT doc_id, score_milli,
+         |  CASE WHEN score_milli >= 0 THEN 'keep' ELSE 'drop' END verdict
+         |FROM (
+         |  SELECT doc_id,
+         |    list_reduce([CAST(0 AS BIGINT)] || list_transform(${codesSql(1048573L)},
+         |      c -> ((c % 512 + 1) * 2654435761) % 2001 - 1000),
+         |      (a, b) -> a + b) score_milli
+         |  FROM documents)""".stripMargin,
     "q_doc_stats" ->
       s"""SELECT doc_id,
          |  len($tokSql) n_tokens,

@@ -111,7 +111,7 @@ object DedupOps {
   // fingerprint pattern, TextOps.fingerprint), so the MinHash/SimHash
   // outputs below are DuckDB-oracle-checkable, not rows-only.
   // ---------------------------------------------------------------
-  private val CHAR_M = 1048573L // prime < 2^20: per-token char-fold space
+  private[textops] val CHAR_M = 1048573L // prime < 2^20: per-token char-fold space
   val P = 2147483647L // 2^31 - 1: shingle / permutation space
 
   /** Per-token polynomial char hash mod m:

@@ -91,6 +91,25 @@ object TextOps {
       lit(0L),
       (h, c) => (h * 31 + c) % 1048576)
 
+  /** Hashed-feature linear quality classifier (the fastText hashing
+    * trick, Joulin et al. 2016 — the CCNet/GPT-3 quality-filter
+    * deployment shape: a linear model trained offline, shipped as a
+    * weight table, applied in one codegen'd pass with NO vocabulary
+    * lookup). Each token folds to its portable char code
+    * ([[DedupOps.tokenCode]]'s native kernel), maps to one of `dim`
+    * buckets, and draws a closed-form integer milli-weight in
+    * [-1000, 1000] (the fixedCentroids discipline: the "trained"
+    * artifact is a formula both engines rebuild). The document score
+    * is the plain weight sum — same sign as the mean, so keep iff
+    * sum >= 0 — and stays integer end to end: value-level
+    * oracle-checkable, overflow-free (|w| <= 1000 per token). */
+  def qualityScoreMilli(text: Column, dim: Int = 512): Column =
+    aggregate(
+      transform(
+        graft.functions.TextHashExprs.tokenCodesCol(tokens(text), DedupOps.CHAR_M),
+        c => ((c % dim + 1L) * 2654435761L) % 2001L - 1000L),
+      lit(0L), (a, v) => a + v)
+
   /** Stopword lists for the language-ID heuristic (fixed, documented). */
   val langStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "is"),

@@ -248,4 +248,25 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(r(2) === (("ver 1.2.3.4567 is not an ip", 0, 0)))
     assert(r(3) === (("trailing dot <EMAIL>. stays", 1, 0)))
   }
+
+  test("qualityScoreMilli: hand-computed golden weights and sums") {
+    // code('a')=97 -> bucket 97 -> w=-773; code('b')=98 -> w=434
+    val r = Seq((1L, "a b"), (2L, "the of and"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.textops.TextOps.qualityScoreMilli(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) == -339L) // -773 + 434
+    assert(r(2L) == 1178L) // 196 + 571 + 411
+  }
+
+  test("qualityScoreMilli: fixture splits into both verdicts, score bounded by n_tokens*1000") {
+    val d = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        graft.textops.TextOps.qualityScoreMilli(col("text")).as("s"),
+        graft.textops.TextOps.tokenCount(col("text")).as("n"))
+    assert(d.filter(col("s") >= 0).count() > 0)
+    assert(d.filter(col("s") < 0).count() > 0)
+    assert(d.filter(abs(col("s")) > col("n") * 1000).count() == 0)
+  }
 }
