@@ -38,6 +38,30 @@ object TextQueries {
         .withColumn("verdict",
           when(col("score_milli") >= 0, lit("keep")).otherwise(lit("drop")))
     }),
+    // Site-scoped boilerplate removal: documents are recut into
+    // deterministic 8-token lines plus an injected per-site NAV header
+    // and (c) footer (the lines a real crawler sees on every page of a
+    // site); the repeated-line rule must excise exactly the site-wide
+    // lines and rejoin the rest in order. Both the line synthesis and
+    // the rule reproduce in DuckDB.
+    "q_boilerplate" -> ((s, dir) => {
+      tune(s)
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id"), col("source").as("site"),
+        split(col("text"), " ").as("toks"))
+      val chunks = base.select(col("doc_id"), col("site"),
+        explode(transform(
+          sequence(lit(0),
+            greatest(lit(0), ceil(size(col("toks")) / 8.0).cast("int") - 1)),
+          g => struct(g.as("pos"),
+            array_join(slice(col("toks"), g * 8 + 1, lit(8)), " ").as("line")))).as("c"))
+        .select(col("doc_id"), col("site"), col("c.pos").as("pos"), col("c.line").as("line"))
+      val nav = d.select(col("doc_id"), col("source").as("site"),
+        lit(-1).as("pos"), concat(lit("NAV "), col("source")).as("line"))
+      val foot = d.select(col("doc_id"), col("source").as("site"),
+        lit(1000000).as("pos"), concat(lit("(c) "), col("source")).as("line"))
+      TextOps.stripBoilerplate(chunks.unionByName(nav).unionByName(foot))
+    }),
     "q_doc_stats" -> ((s, dir) => {
       tune(s)
       val t = TextOps.tokens(col("text"))
@@ -821,6 +845,34 @@ object TextQueries {
     "q_span_dedup" -> spanSqlOver(dupsSql, 8),
     "q_dup_edges" -> dupEdgesSql,
     "q_simhash_neardup" -> simhashSql,
+    "q_boilerplate" ->
+      s"""WITH base AS (SELECT doc_id, source site, $tokSql toks FROM documents),
+         |chunks AS (
+         |  SELECT doc_id, site,
+         |    unnest(list_transform(
+         |      generate_series(0, greatest(0, CAST(ceil(len(toks)/8.0) AS INT) - 1)),
+         |      g -> {'pos': CAST(g AS INT),
+         |            'line': array_to_string(list_slice(toks, g*8+1, g*8+8), ' ')})) c
+         |  FROM base),
+         |lines AS (
+         |  SELECT doc_id, site, c.pos pos, c.line line FROM chunks
+         |  UNION ALL
+         |  SELECT doc_id, source, -1, 'NAV ' || source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, source, 1000000, '(c) ' || source FROM documents),
+         |sd AS (SELECT site, count(DISTINCT doc_id) site_docs FROM lines GROUP BY 1),
+         |bp AS (
+         |  SELECT f.site, f.line FROM (
+         |    SELECT site, line, count(DISTINCT doc_id) line_df
+         |    FROM lines GROUP BY 1, 2) f
+         |  JOIN sd USING (site)
+         |  WHERE line_df >= 2 AND line_df * 2 >= site_docs)
+         |SELECT l.doc_id,
+         |  coalesce(string_agg(CASE WHEN bp.line IS NULL THEN l.line END,
+         |                      chr(10) ORDER BY l.pos), '') clean_text,
+         |  count(bp.line) n_removed
+         |FROM lines l LEFT JOIN bp ON bp.site = l.site AND bp.line = l.line
+         |GROUP BY l.doc_id""".stripMargin,
     "q_quality_linear" ->
       s"""SELECT doc_id, score_milli,
          |  CASE WHEN score_milli >= 0 THEN 'keep' ELSE 'drop' END verdict

@@ -1,6 +1,6 @@
 package graft.textops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -109,6 +109,43 @@ object TextOps {
         graft.functions.TextHashExprs.tokenCodesCol(tokens(text), DedupOps.CHAR_M),
         c => ((c % dim + 1L) * 2654435761L) % 2001L - 1000L),
       lit(0L), (a, v) => a + v)
+
+  /** Site-scoped boilerplate line removal (the CCNet line-level dedup /
+    * jusText boilerplate rule distilled to its distributable core):
+    * within a site, a line is boilerplate iff it occurs in >= minDf
+    * distinct documents AND in at least half the site's documents —
+    * nav bars, footers and cookie banners repeat site-wide; body text
+    * does not. Input is one row per (doc_id, site, pos, line); output
+    * one row per document with the surviving lines rejoined in order
+    * plus the removed-line count.
+    *
+    * Scale: line identity shuffles as the 8-byte (site, xxhash64(line))
+    * pair (hash-equality stands in for string equality, the exact-dedup
+    * precedent); the per-site doc-count side is a dimension-sized
+    * broadcast; the reassembly group is bounded by lines-per-document
+    * (input-bounded, never corpus-bounded). */
+  def stripBoilerplate(lines: DataFrame, minDf: Int = 2): DataFrame = {
+    val l = lines.withColumn("line_h", xxhash64(col("line")))
+    val siteDocs = l.groupBy("site")
+      .agg(countDistinct("doc_id").as("site_docs"))
+    val bp = l.groupBy("site", "line_h")
+      .agg(countDistinct("doc_id").as("line_df"))
+      .join(broadcast(siteDocs), "site")
+      .filter(col("line_df") >= minDf && col("line_df") * 2 >= col("site_docs"))
+      .select(col("site"), col("line_h"), lit(true).as("bp"))
+    l.join(bp, Seq("site", "line_h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"),
+                when(col("bp").isNull, col("line")).as("line")))),
+              x => x.getField("line").isNotNull),
+            x => x.getField("line")),
+          "\n").as("clean_text"),
+        count(col("bp")).as("n_removed"))
+  }
 
   /** Stopword lists for the language-ID heuristic (fixed, documented). */
   val langStopwords: Map[String, Seq[String]] = Map(

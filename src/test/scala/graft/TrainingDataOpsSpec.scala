@@ -249,6 +249,23 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(r(3) === (("trailing dot <EMAIL>. stays", 1, 0)))
   }
 
+  test("stripBoilerplate: site-wide lines excised, order kept, other sites untouched") {
+    val lines = Seq(
+      // site A: "NAV" on all 3 docs (df=3 >= 2, 3*2 >= 3) -> removed
+      (1L, "a", 0, "NAV"), (1L, "a", 1, "body one"), (1L, "a", 2, "tail"),
+      (2L, "a", 0, "NAV"), (2L, "a", 1, "body two"),
+      (3L, "a", 0, "NAV"), (3L, "a", 1, "body one"), // "body one" df=2, 2*2 >= 3 -> removed too
+      // site B: single doc; its "NAV" has df=1 < minDf -> kept
+      (9L, "b", 0, "NAV"), (9L, "b", 1, "body nine")
+    ).toDF("doc_id", "site", "pos", "line")
+    val r = graft.textops.TextOps.stripBoilerplate(lines)
+      .as[(Long, String, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(1L) == (("tail", 2L)))            // NAV + "body one" removed
+    assert(r(2L) == (("body two", 1L)))
+    assert(r(3L) == (("", 2L)))                // everything site-wide
+    assert(r(9L) == (("NAV\nbody nine", 0L)))  // df=1 on site b survives
+  }
+
   test("qualityScoreMilli: hand-computed golden weights and sums") {
     // code('a')=97 -> bucket 97 -> w=-773; code('b')=98 -> w=434
     val r = Seq((1L, "a b"), (2L, "the of and"))
