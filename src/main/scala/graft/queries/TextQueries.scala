@@ -62,6 +62,22 @@ object TextQueries {
         lit(1000000).as("pos"), concat(lit("(c) "), col("source")).as("line"))
       TextOps.stripBoilerplate(chunks.unionByName(nav).unionByName(foot))
     }),
+    // Corpus-trained bigram LM surprisal (the CCNet perplexity filter,
+    // integer-exact): bit-quantized -log2 P(w2|w1) summed per doc.
+    "q_lm_surprisal" -> ((s, dir) => {
+      tune(s)
+      graft.textops.LmScore.bigramSurprisal(docs(s, dir), "doc_id", "text")
+    }),
+    // Sequence packing: concat-and-chop the corpus into 128-token
+    // training sequences; one integer segment row per (sequence, doc)
+    // overlap — the data-loader address book.
+    "q_pack_sequences" -> ((s, dir) => {
+      tune(s)
+      graft.textops.SampleOps.packSequences(
+        docs(s, dir).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", seqLen = 128)
+    }),
     "q_doc_stats" -> ((s, dir) => {
       tune(s)
       val t = TextOps.tokens(col("text"))
@@ -845,6 +861,39 @@ object TextQueries {
     "q_span_dedup" -> spanSqlOver(dupsSql, 8),
     "q_dup_edges" -> dupEdgesSql,
     "q_simhash_neardup" -> simhashSql,
+    "q_lm_surprisal" ->
+      s"""WITH d AS (SELECT doc_id, $tokSql t FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> {'w1': t[i], 'w2': t[i+1]})) bg
+         |  FROM d WHERE len(t) >= 2),
+         |p AS (SELECT doc_id, bg.w1 w1, bg.w2 w2 FROM pairs),
+         |uni AS (SELECT w1, count(*) uc FROM p GROUP BY 1),
+         |bi AS (SELECT w1, w2, count(*) bc FROM p GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) n_bigrams,
+         |    CAST(sum((length(bin(uc)) - 1) - (length(bin(bc)) - 1)) AS BIGINT) surprisal_bits
+         |  FROM p JOIN bi USING (w1, w2) JOIN uni USING (w1)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, surprisal_bits,
+         |  CAST(floor(surprisal_bits * 1000.0 / n_bigrams) AS BIGINT) bits_per_bigram_milli
+         |FROM scored""".stripMargin,
+    "q_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) n FROM documents
+         |           WHERE len($tokSql) > 0),
+         |cum AS (SELECT doc_id, n,
+         |          CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) end_tok FROM d),
+         |base AS (SELECT doc_id, end_tok - n start_tok, end_tok FROM cum),
+         |seqs AS (
+         |  SELECT doc_id, start_tok, end_tok,
+         |    unnest(generate_series(CAST(floor(start_tok / 128.0) AS BIGINT),
+         |                           CAST(floor((end_tok - 1) / 128.0) AS BIGINT))) seq_id
+         |  FROM base)
+         |SELECT seq_id, doc_id,
+         |  greatest(start_tok, seq_id * 128) - start_tok doc_off,
+         |  greatest(start_tok, seq_id * 128) - seq_id * 128 seq_off,
+         |  least(end_tok, (seq_id + 1) * 128) - greatest(start_tok, seq_id * 128) len
+         |FROM seqs""".stripMargin,
     "q_boilerplate" ->
       s"""WITH base AS (SELECT doc_id, source site, $tokSql toks FROM documents),
          |chunks AS (

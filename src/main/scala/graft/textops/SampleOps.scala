@@ -84,4 +84,60 @@ object SampleOps {
   def stratifiedSample(docs: DataFrame, idCol: String,
                        rateMilli: Column): DataFrame =
     docs.filter(pmod(sampleKey(col(idCol)), lit(1000L)) < rateMilli)
+
+  /** Sequence packing — the concat-and-chop layout every LLM training
+    * run performs: documents are laid end to end in doc-id order and
+    * cut into fixed `seqLen`-token training sequences; a document that
+    * straddles a cut contributes one segment row per sequence it
+    * touches. Output: (seq_id, doc_id, doc_off, seq_off, len) — the
+    * complete integer address book a data loader needs to materialize
+    * any sequence without re-tokenizing.
+    *
+    * Scale: the global token prefix sum is the [[budgetSample]]
+    * two-phase discipline over contiguous doc-id RANGES (never one
+    * unpartitioned window): per-bucket sums make a dimension-sized
+    * offsets frame, broadcast back, and the within-bucket running sum
+    * windows over corpus/buckets rows. The straddle fan-out is bounded
+    * by n_tokens/seqLen + 1 per document. Deterministic and
+    * integer-only end to end. */
+  def packSequences(docs: DataFrame, idCol: String, tokensCol: String,
+                    seqLen: Int, buckets: Int = 64): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1: $seqLen")
+    require(buckets >= 1, s"bucket count must be >= 1: $buckets")
+    val d = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val maxId = d.agg(max("doc_id")).head.getLong(0)
+    val span = (maxId + buckets) / buckets // ceil((maxId+1)/buckets)
+    val keyed = d.withColumn("bucket", (col("doc_id") / span).cast("int"))
+    // Phase 1: `buckets` rows — dimension-sized by construction.
+    val offsets = keyed.groupBy("bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+      .withColumn("offset",
+        coalesce(
+          sum("bucket_tokens").over(
+            Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("bucket", "offset")
+    val spans = keyed.join(broadcast(offsets), "bucket")
+      .withColumn("end_tok",
+        col("offset") + sum("n_tokens").over(
+          Window.partitionBy("bucket").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+    val L = lit(seqLen.toLong)
+    spans
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        explode(sequence(
+          floor(col("start_tok") / L),
+          floor((col("end_tok") - 1) / L))).as("seq_id"))
+      .select(
+        col("seq_id"),
+        col("doc_id"),
+        (greatest(col("start_tok"), col("seq_id") * L) - col("start_tok")).as("doc_off"),
+        (greatest(col("start_tok"), col("seq_id") * L) - col("seq_id") * L).as("seq_off"),
+        (least(col("end_tok"), (col("seq_id") + 1) * L)
+          - greatest(col("start_tok"), col("seq_id") * L)).as("len"))
+  }
 }

@@ -266,6 +266,41 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(r(9L) == (("NAV\nbody nine", 0L)))  // df=1 on site b survives
   }
 
+  test("packSequences: straddling docs split exactly; lengths conserve") {
+    val docs = Seq((1L, 5L), (2L, 10L), (3L, 3L)).toDF("doc_id", "n_tokens")
+    val r = graft.textops.SampleOps
+      .packSequences(docs, "doc_id", "n_tokens", seqLen = 8, buckets = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // layout: doc1 [0,5) doc2 [5,15) doc3 [15,18); cuts at 8 and 16
+    assert(r == Set(
+      (0L, 1L, 0L, 0L, 5L),
+      (0L, 2L, 0L, 5L, 3L), (1L, 2L, 3L, 0L, 7L),
+      (1L, 3L, 0L, 7L, 1L), (2L, 3L, 1L, 0L, 2L)))
+  }
+
+  test("packSequences invariants on the fixture: per-doc and per-seq token conservation") {
+    val d = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"), graft.textops.TextOps.tokenCount(col("text")).as("n"))
+    val packed = graft.textops.SampleOps.packSequences(d, "doc_id", "n", seqLen = 128)
+    val perDoc = packed.groupBy("doc_id").agg(sum("len").as("s"))
+      .join(d, "doc_id").filter(col("s") =!= col("n")).count()
+    assert(perDoc == 0, "per-doc segment lengths must sum to n_tokens")
+    val maxSeq = packed.agg(max("seq_id")).head.getLong(0)
+    val short = packed.filter(col("seq_id") < maxSeq)
+      .groupBy("seq_id").agg(sum("len").as("s"))
+      .filter(col("s") =!= 128).count()
+    assert(short == 0, "every non-final sequence must hold exactly seqLen tokens")
+  }
+
+  test("bigramSurprisal: hand-computed bit counts") {
+    // pairs: (a,b) x2, (a,c) x1 -> uc(a)=3; floorlog2: 3->1, 2->1, 1->0
+    val r = graft.textops.LmScore.bigramSurprisal(
+        Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(r == Set((1L, 1L, 0L, 0L), (2L, 1L, 0L, 0L), (3L, 1L, 1L, 1000L)))
+  }
+
   test("qualityScoreMilli: hand-computed golden weights and sums") {
     // code('a')=97 -> bucket 97 -> w=-773; code('b')=98 -> w=434
     val r = Seq((1L, "a b"), (2L, "the of and"))
