@@ -19,12 +19,14 @@ object SparkEntry {
       graft.queries.RelationalQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.SimQueries.queries ++
-      graft.queries.BreadthQueries.queries
+      graft.queries.BreadthQueries.queries ++
+      graft.queries.GraphBreadthQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
       graft.queries.RelationalQueries.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
       graft.queries.SimQueries.oracleSql ++
-      graft.queries.BreadthQueries.oracleSql
+      graft.queries.BreadthQueries.oracleSql ++
+      graft.queries.GraphBreadthQueries.oracleSql
 }

@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.fixtures.Corpus
+import graft.queries.CoreQueries.tune
+import graft.textops.{Dsir, UrlOps}
+
+/** Round-6 breadth block: structural graph census (triangles), the
+  * web-link graph extraction step (hrefs → host graph with intra-crawl
+  * resolution), and DSIR importance-weighted data selection — each a
+  * distinct operator shape with a full value-level DuckDB oracle.
+  */
+object GraphBreadthQueries {
+
+  /** The canonical co-ordered product pair graph (the q_co_ordered
+    * universe built relationally — same oracle CTE shape): one
+    * undirected simple edge (a < b) per pair of canonical products
+    * sharing an order. */
+  private def coOrderedEdges(s: SparkSession, dir: String): DataFrame = {
+    val part = Corpus.table(s, dir, "part")
+    val pc = part.select(col("p_partkey"),
+      concat(lit("PART:"),
+        regexp_replace(
+          min(concat(lit("PARTRAW:"), col("p_partkey")))
+            .over(Window.partitionBy("p_name")),
+          "PARTRAW:", "")).as("pid"))
+    val op = Corpus.table(s, dir, "lineitem")
+      .join(broadcast(pc), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("pid")).distinct()
+    op.alias("x").join(op.alias("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.pid") < col("y.pid"))
+      .select(col("x.pid").as("a"), col("y.pid").as("b"))
+      .distinct()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-node triangle participation over the co-ordered product
+    // graph — degree-ordered orientation (each triangle built exactly
+    // once at its min-rank corner, wedge fan-out capped at O(sqrt m)
+    // per node: the skew killer). The oracle enumerates x<y<z triples
+    // directly; counts must agree node-for-node.
+    "q_triangles" -> ((s, dir) => {
+      tune(s)
+      graft.graph.Triangles.perNode(coOrderedEdges(s, dir), "a", "b")
+    }),
+    // Web-graph extraction: per-page outlink hrefs (codegen'd
+    // regexp_extract_all, no UDF) → host-level link graph with
+    // canonical-URL resolution against the crawl's own page set (the
+    // k*2 link leaves the key range for half the pages, so resolution
+    // is a genuine join test). The
+    // messy-link corpus is built in BOTH engines; the oracle re-parses
+    // with DuckDB's own regex + string ops.
+    "q_web_graph" -> ((s, dir) => {
+      tune(s)
+      val o = Corpus.table(s, dir, "orders").select(col("o_orderkey").as("k"))
+      val html = o.select(
+        concat(lit("https://ex.org/"), col("k")).as("src_url"),
+        concat(
+          lit("<html><body><a href=\"https://ex.org/"),
+          (col("k") * 2).cast("long"), lit("\">next2</a>"),
+          when(pmod(col("k"), lit(3)) === 0,
+            concat(lit("<a href=\"HTTPS://EX.ORG:443/"), col("k") + 1,
+              lit("#top\">next</a>"))).otherwise(lit("")),
+          when(pmod(col("k"), lit(5)) === 0,
+            concat(lit("<a href=\"https://cdn.example.net:8443/static/"),
+              col("k"), lit("\">img</a>"))).otherwise(lit("")),
+          when(pmod(col("k"), lit(7)) === 0,
+            concat(lit("<a href=\"http://m"), pmod(col("k"), lit(4)),
+              lit(".mirror.net/p/"), col("k"), lit("\">m</a>")))
+            .otherwise(lit("")),
+          lit("</body></html>")).as("html"))
+      val links = html.select(col("src_url"),
+        explode(UrlOps.extractHrefs(col("html"))).as("href"))
+      val resolved = links.select(col("src_url"),
+        UrlOps.hostOf(col("href")).as("dst_host"),
+        UrlOps.canonicalizeUrl(col("href")).as("dst_url"))
+      val pageSet = o.select(concat(lit("https://ex.org/"), col("k")).as("page_url"))
+      resolved.join(pageSet, resolved("dst_url") === pageSet("page_url"), "left")
+        .groupBy("dst_host")
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("src_url")).as("n_src_pages"),
+          sum(when(col("page_url").isNotNull, 1L).otherwise(0L)).as("n_resolved"))
+    }),
+    // DSIR importance-weighted selection (Xie et al. 2023) made
+    // integer-exact: hashed-unigram target/raw bit-weights, per-doc
+    // importance bit-rate, fixed keep threshold. Target slice =
+    // doc_id % 7 (a stand-in curated high-quality set — membership is
+    // a flag column, never a second scan).
+    "q_dsir_select" -> ((s, dir) => {
+      tune(s)
+      Dsir.importanceSelect(
+        Corpus.table(s, dir, "documents").select("doc_id", "text"),
+        pmod(col("doc_id"), lit(7)) === 0, "doc_id", "text",
+        dim = 256, tauMilli = -2100L)  // splits keep/drop at both test SFs
+    }))
+
+  /** q_co_ordered's pc/op CTEs (canonical-part convention: STRING-min
+    * of 'PARTRAW:'||key, prefix-stripped). */
+  private val edgesSql: String =
+    """pc AS (
+      |  SELECT p_partkey,
+      |         'PART:' || replace(min('PARTRAW:' || p_partkey) OVER (PARTITION BY p_name), 'PARTRAW:', '') AS pid
+      |  FROM part),
+      |op AS (
+      |  SELECT DISTINCT l.l_orderkey, pc.pid
+      |  FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey),
+      |e AS (
+      |  SELECT DISTINCT a.pid a, b.pid b
+      |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.pid < b.pid)""".stripMargin
+
+  /** UrlOps.canonicalizeUrl + hostOf mirror over an (src_url, href)
+    * CTE named `l` — the same parse chain as the q_url_canon oracle. */
+  private val canonHrefSql: String = {
+    val params = "array_to_string(list_sort(list_filter(string_split(qs, '&'), " +
+      "x -> NOT starts_with(x, 'utm_'))), '&')"
+    s"""p AS (SELECT src_url, split_part(href, '#', 1) nofrag FROM l),
+       |q AS (
+       |  SELECT src_url, split_part(nofrag, '?', 1) base,
+       |    CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2) ELSE '' END qs
+       |  FROM p),
+       |r AS (
+       |  SELECT src_url, qs,
+       |    lower(split_part(base, '://', 1)) scheme,
+       |    split_part(split_part(base, '://', 2), '/', 1) hostport,
+       |    substr(split_part(base, '://', 2),
+       |           length(split_part(split_part(base, '://', 2), '/', 1)) + 1) pathraw
+       |  FROM q),
+       |s AS (
+       |  SELECT src_url, qs, scheme, pathraw,
+       |    lower(split_part(hostport, ':', 1)) host,
+       |    CASE WHEN contains(hostport, ':') THEN split_part(hostport, ':', 2) ELSE '' END port
+       |  FROM r),
+       |c AS (
+       |  SELECT src_url, host dst_host,
+       |    scheme || '://' || host ||
+       |    CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+       |              OR (scheme = 'http' AND port = '80')
+       |         THEN '' ELSE ':' || port END ||
+       |    CASE WHEN pathraw = '' THEN '/'
+       |         WHEN pathraw <> '/' AND pathraw LIKE '%/'
+       |         THEN substr(pathraw, 1, length(pathraw) - 1)
+       |         ELSE pathraw END ||
+       |    CASE WHEN $params = '' THEN '' ELSE '?' || $params END dst_url
+       |  FROM s)""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_triangles" ->
+      s"""WITH $edgesSql,
+         |tri AS (
+         |  SELECT e1.a x, e1.b y, e2.b z
+         |  FROM e e1
+         |  JOIN e e2 ON e2.a = e1.b
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |corners AS (
+         |  SELECT x v FROM tri
+         |  UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri)
+         |SELECT v node_id, CAST(count(*) AS BIGINT) n_triangles
+         |FROM corners GROUP BY 1""".stripMargin,
+    "q_web_graph" ->
+      s"""WITH o AS (SELECT o_orderkey k FROM orders),
+         |h AS (
+         |  SELECT 'https://ex.org/' || k src_url,
+         |    '<html><body><a href="https://ex.org/' || CAST(k * 2 AS BIGINT) || '">next2</a>' ||
+         |    CASE WHEN k % 3 = 0 THEN '<a href="HTTPS://EX.ORG:443/' || (k + 1) || '#top">next</a>' ELSE '' END ||
+         |    CASE WHEN k % 5 = 0 THEN '<a href="https://cdn.example.net:8443/static/' || k || '">img</a>' ELSE '' END ||
+         |    CASE WHEN k % 7 = 0 THEN '<a href="http://m' || (k % 4) || '.mirror.net/p/' || k || '">m</a>' ELSE '' END ||
+         |    '</body></html>' html
+         |  FROM o),
+         |l AS (
+         |  SELECT src_url, unnest(regexp_extract_all(html, '${UrlOps.HrefRe}', 1)) href
+         |  FROM h),
+         |$canonHrefSql,
+         |pg AS (SELECT 'https://ex.org/' || o_orderkey page_url FROM orders)
+         |SELECT dst_host, CAST(count(*) AS BIGINT) n_links,
+         |       CAST(count(DISTINCT src_url) AS BIGINT) n_src_pages,
+         |       CAST(sum(CASE WHEN pg.page_url IS NULL THEN 0 ELSE 1 END) AS BIGINT) n_resolved
+         |FROM c LEFT JOIN pg ON c.dst_url = pg.page_url
+         |GROUP BY 1""".stripMargin,
+    "q_dsir_select" -> {
+      // DedupOps.tokenCode mirror (the decontaminate oracle's chain)
+      val codes = "list_transform(string_split(text, ' '), t -> " +
+        "list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(generate_series(1, length(t)), i -> CAST(ord(t[i]) AS BIGINT)), " +
+        "(a, b) -> (a * 131 + b) % 1048573))"
+      s"""WITH d AS (SELECT doc_id, doc_id % 7 = 0 is_tgt, text FROM documents),
+         |codes AS (SELECT doc_id, is_tgt, $codes cs FROM d),
+         |feats AS (SELECT doc_id, is_tgt, unnest(cs) % 256 f FROM codes),
+         |w AS (
+         |  SELECT f,
+         |    CAST(length(bin(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) + 1))
+         |       - length(bin(count(*) + 1)) AS BIGINT) w_bits
+         |  FROM feats GROUP BY 1),
+         |per AS (SELECT doc_id, f, count(*) n FROM feats GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) n_feat,
+         |         CAST(sum(n * w_bits) AS BIGINT) logw_bits
+         |  FROM per JOIN w USING (f) GROUP BY 1)
+         |SELECT doc_id, n_feat, logw_bits,
+         |       CAST(floor(logw_bits * 1000 / n_feat) AS BIGINT) logw_milli,
+         |       floor(logw_bits * 1000 / n_feat) >= -2100 keep
+         |FROM agg""".stripMargin
+    })
+}

@@ -54,4 +54,27 @@ object UrlOps {
       path,
       when(params === "", lit("")).otherwise(concat(lit("?"), params)))
   }
+
+  /** Anchor-href extraction pattern, held in the Java-regex ∩ RE2
+    * common subset (the PiiOps discipline) so the IDENTICAL pattern
+    * string runs in DuckDB's regexp_extract_all: the value of every
+    * double-quoted href attribute. */
+  val HrefRe = "href=\"([^\"]*)\""
+
+  /** All href values in an HTML string column — the web-graph
+    * extraction step (outlinks per page). Codegen'd
+    * regexp_extract_all, no UDF; per-row work, embarrassingly
+    * parallel. */
+  def extractHrefs(html: Column): Column =
+    regexp_extract_all(html, lit(HrefRe), lit(1))
+
+  /** The lowercased host of a URL column (port and path stripped) —
+    * same parse steps as [[canonicalizeUrl]], pure string Columns. */
+  def hostOf(u: Column): Column = {
+    val base = substring_index(substring_index(u, "#", 1), "?", 1)
+    val rawScheme = substring_index(base, "://", 1)
+    val rest = base.substr(length(rawScheme) + 4, length(base))
+    val hostport = substring_index(rest, "/", 1)
+    lower(substring_index(hostport, ":", 1))
+  }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.Triangles
+import graft.textops.{Dsir, UrlOps}
+
+/** Triangle census, web-link extraction, DSIR selection. */
+class GraphBreadthSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------- Triangles
+
+  /** Undirected simple edges, a < b. */
+  private def edges(ps: (String, String)*) = ps.toDF("a", "b")
+
+  test("triangles: K4 gives every node 3 triangles; disjoint triangle gives 1") {
+    val e = edges(
+      ("1", "2"), ("1", "3"), ("1", "4"), ("2", "3"), ("2", "4"), ("3", "4"),
+      ("x", "y"), ("x", "z"), ("y", "z"))
+    val r = Triangles.perNode(e, "a", "b").as[(String, Long)].collect().toMap
+    assert(r == Map("1" -> 3L, "2" -> 3L, "3" -> 3L, "4" -> 3L,
+      "x" -> 1L, "y" -> 1L, "z" -> 1L))
+  }
+
+  test("triangles: triangle-free graphs (path, star hub) emit nothing") {
+    val path = edges(("1", "2"), ("2", "3"), ("3", "4"))
+    assert(Triangles.perNode(path, "a", "b").count() === 0)
+    // a degree-10 hub with no leaf-leaf edges: the orientation must not
+    // fan out deg^2 wedges into phantom triangles
+    val star = edges((1 to 10).map(i => ("hub", s"leaf$i")): _*)
+    assert(Triangles.perNode(star, "a", "b").count() === 0)
+  }
+
+  test("triangles: each triangle counted exactly once (book graph: shared edge)") {
+    // two triangles sharing edge (1,2): (1,2,3) and (1,2,4)
+    val e = edges(("1", "2"), ("1", "3"), ("2", "3"), ("1", "4"), ("2", "4"))
+    val r = Triangles.perNode(e, "a", "b").as[(String, Long)].collect().toMap
+    assert(r == Map("1" -> 2L, "2" -> 2L, "3" -> 1L, "4" -> 1L))
+  }
+
+  test("triangles: plan is all equi-joins — no cartesian product") {
+    val e = edges(("1", "2"), ("1", "3"), ("2", "3"))
+    val plan = Triangles.perNode(e, "a", "b").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  // ------------------------------------------------------------- UrlOps
+
+  test("extractHrefs: all double-quoted hrefs in order; none elsewhere") {
+    val html = """<a href="https://a.b/1">x</a><p>href= nope</p><a class="c" href="HTTP://C.D:80/2#f">y</a>"""
+    val r = Seq(html).toDF("h")
+      .select(UrlOps.extractHrefs(col("h")).as("u")).as[Seq[String]].head()
+    assert(r == Seq("https://a.b/1", "HTTP://C.D:80/2#f"))
+    assert(Seq("<p>no links</p>").toDF("h")
+      .select(UrlOps.extractHrefs(col("h"))).as[Seq[String]].head().isEmpty)
+  }
+
+  test("hostOf: lowercases, strips port/path/query/fragment") {
+    val cases = Seq(
+      "https://EX.org:443/p" -> "ex.org",
+      "http://m1.mirror.net/p/3" -> "m1.mirror.net",
+      "https://a.b" -> "a.b",
+      "https://a.b?x=1" -> "a.b",
+      "https://a.b#frag" -> "a.b")
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), UrlOps.hostOf(col("u")).as("h"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (u, h) => assert(got(u) == h, u) }
+  }
+
+  // --------------------------------------------------------------- DSIR
+
+  test("dsir: target-exclusive tokens score 0 bits; raw-only tokens score negative") {
+    // 8 target docs of token "aa", 8 raw docs of token "bb" (distinct
+    // hash buckets: 12804%256=4 vs 12936%256=136).
+    // w(aa) = floorlog2(24+1) - floorlog2(24+1) = 0
+    // w(bb) = floorlog2(0+1)  - floorlog2(24+1) = 0 - 4 = -4
+    val docs = ((1 to 8).map(i => (i.toLong, "aa aa aa")) ++
+      (9 to 16).map(i => (i.toLong, "bb bb bb"))).toDF("doc_id", "text")
+    val r = Dsir.importanceSelect(docs, col("doc_id") <= 8, "doc_id", "text",
+        dim = 256, tauMilli = -2000L)
+      .select("doc_id", "logw_milli", "keep")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, lw, k) => id -> ((lw, k)) }.toMap
+    (1 to 8).foreach(i => assert(r(i.toLong) == ((0L, true)), i))
+    (9 to 16).foreach(i => assert(r(i.toLong) == ((-4000L, false)), i))
+  }
+
+  test("dsir: length normalization — same token mix, different lengths, same rate") {
+    val docs = Seq((1L, "aa aa"), (2L, "aa aa aa aa aa aa")).toDF("doc_id", "text")
+    val r = Dsir.importanceSelect(docs, lit(true), "doc_id", "text")
+      .select("doc_id", "logw_milli").as[(Long, Long)].collect().toMap
+    assert(r(1L) == r(2L))
+  }
+}
