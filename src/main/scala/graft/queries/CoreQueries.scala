@@ -350,7 +350,7 @@ object CoreQueries {
     * linker's rank-1 pick is the NUMERIC-min partkey (priority column is
     * int) — the oracle reproduces both, which is exactly why the
     * broadcast canonicalization stage is observable in q_triples. */
-  private val pageTextSql =
+  private[queries] val pageTextSql =
     """SELECT 'https://ex.org/' || o.o_orderkey AS url,
       |  'Order ' || o.o_orderkey || ' was placed by ' || c.c_name ||
       |  ' from ' || n.n_name || ' with priority ' || o.o_orderpriority ||

@@ -36,6 +36,30 @@ object GraphBreadthQueries {
       .distinct()
   }
 
+  /** The messy-link crawl: one html page per order with 1-4 anchors —
+    * an in-range-doubling link (resolves for half the keys), an
+    * upper-cased default-port fragment link, and two off-site links.
+    * Built from the same arithmetic in the DuckDB oracles. */
+  private def linkyHtml(s: SparkSession, dir: String): DataFrame = {
+    val o = Corpus.table(s, dir, "orders").select(col("o_orderkey").as("k"))
+    o.select(
+      concat(lit("https://ex.org/"), col("k")).as("src_url"),
+      concat(
+        lit("<html><body><a href=\"https://ex.org/"),
+        (col("k") * 2).cast("long"), lit("\">next2</a>"),
+        when(pmod(col("k"), lit(3)) === 0,
+          concat(lit("<a href=\"HTTPS://EX.ORG:443/"), col("k") + 1,
+            lit("#top\">next</a>"))).otherwise(lit("")),
+        when(pmod(col("k"), lit(5)) === 0,
+          concat(lit("<a href=\"https://cdn.example.net:8443/static/"),
+            col("k"), lit("\">img</a>"))).otherwise(lit("")),
+        when(pmod(col("k"), lit(7)) === 0,
+          concat(lit("<a href=\"http://m"), pmod(col("k"), lit(4)),
+            lit(".mirror.net/p/"), col("k"), lit("\">m</a>")))
+          .otherwise(lit("")),
+        lit("</body></html>")).as("html"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-node triangle participation over the co-ordered product
     // graph — degree-ordered orientation (each triangle built exactly
@@ -55,23 +79,8 @@ object GraphBreadthQueries {
     // with DuckDB's own regex + string ops.
     "q_web_graph" -> ((s, dir) => {
       tune(s)
+      val html = linkyHtml(s, dir)
       val o = Corpus.table(s, dir, "orders").select(col("o_orderkey").as("k"))
-      val html = o.select(
-        concat(lit("https://ex.org/"), col("k")).as("src_url"),
-        concat(
-          lit("<html><body><a href=\"https://ex.org/"),
-          (col("k") * 2).cast("long"), lit("\">next2</a>"),
-          when(pmod(col("k"), lit(3)) === 0,
-            concat(lit("<a href=\"HTTPS://EX.ORG:443/"), col("k") + 1,
-              lit("#top\">next</a>"))).otherwise(lit("")),
-          when(pmod(col("k"), lit(5)) === 0,
-            concat(lit("<a href=\"https://cdn.example.net:8443/static/"),
-              col("k"), lit("\">img</a>"))).otherwise(lit("")),
-          when(pmod(col("k"), lit(7)) === 0,
-            concat(lit("<a href=\"http://m"), pmod(col("k"), lit(4)),
-              lit(".mirror.net/p/"), col("k"), lit("\">m</a>")))
-            .otherwise(lit("")),
-          lit("</body></html>")).as("html"))
       val links = html.select(col("src_url"),
         explode(UrlOps.extractHrefs(col("html"))).as("href"))
       val resolved = links.select(col("src_url"),
@@ -83,6 +92,73 @@ object GraphBreadthQueries {
         .agg(count(lit(1)).as("n_links"),
           countDistinct(col("src_url")).as("n_src_pages"),
           sum(when(col("page_url").isNotNull, 1L).otherwise(0L)).as("n_resolved"))
+    }),
+    // Anchor-text KG edges from HTML: (src page) -[links_to, anchor
+    // text as evidence]-> (dst page), targets canonicalized and
+    // resolved against the crawl via left_semi — the web-native edge
+    // family a page-graph KG builder emits. Same fixture html as
+    // q_web_graph; all extraction is map-side codegen'd string work.
+    "q_anchor_edges" -> ((s, dir) => {
+      tune(s)
+      val html = linkyHtml(s, dir)
+      val anchors = html.select(col("src_url"),
+          explode(UrlOps.extractAnchors(col("html"))).as("a"))
+        .select(col("src_url").as("subject_id"),
+          lit("links_to").as("relation_label"),
+          UrlOps.canonicalizeUrl(col("a.href")).as("object_id"),
+          col("a.anchor").as("anchor"))
+      val pageSet = Corpus.table(s, dir, "orders")
+        .select(concat(lit("https://ex.org/"), col("o_orderkey")).as("page_url"))
+      anchors.join(pageSet,
+        anchors("object_id") === pageSet("page_url"), "left_semi")
+    }),
+    // Recrawl collapse (Common-Crawl dedup-across-crawls): the messy
+    // URL variant set, each variant a later crawl of the same page;
+    // keep the LATEST fetch per canonical URL (row_number over the
+    // canon key — ties broken by raw url, deterministic under any
+    // partitioning) plus the crawl count.
+    "q_recrawl_latest" -> ((s, dir) => {
+      tune(s)
+      val o = Corpus.table(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderdate").as("ts0"))
+      def v(cond: org.apache.spark.sql.Column, u: org.apache.spark.sql.Column, days: Int) =
+        o.filter(cond).select(u.as("u"),
+          (col("ts0") + expr(s"INTERVAL $days DAYS")).as("ts"))
+      val crawls = v(lit(true), concat(lit("https://ex.org/"), col("k")), 0)
+        .unionByName(v(pmod(col("k"), lit(3)) === 0,
+          concat(lit("HTTPS://EX.ORG:443/"), col("k"), lit("#frag")), 1))
+        .unionByName(v(pmod(col("k"), lit(5)) === 0,
+          concat(lit("https://ex.org/"), col("k"), lit("?utm_source=x&b=2&a=1")), 2))
+        .unionByName(v(pmod(col("k"), lit(7)) === 0,
+          concat(lit("https://ex.org/"), col("k"), lit("/")), 3))
+        .unionByName(v(pmod(col("k"), lit(11)) === 0,
+          concat(lit("https://ex.org:8080/"), col("k")), 4))
+      val w = Window.partitionBy("canon_url")
+      crawls.withColumn("canon_url", UrlOps.canonicalizeUrl(col("u")))
+        .withColumn("rn",
+          row_number().over(w.orderBy(col("ts").desc, col("u").asc)))
+        .withColumn("n_crawls", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select(col("canon_url"), col("n_crawls"),
+          col("u").as("latest_url"),
+          date_format(col("ts"), "yyyy-MM-dd").as("latest_day"))
+    }),
+    // Vocabulary building (the tokenizer-training precursor): corpus
+    // token frequency top-512 with deterministic (count desc, token
+    // asc) ranking, over the PAGE text (15k+ distinct tokens at
+    // sf0.01, so the limit genuinely binds). One map-side-combined
+    // count shuffle, then a TakeOrdered 512; the rank window runs over
+    // the already-bounded 512 rows, never the corpus.
+    "q_vocab_topk" -> ((s, dir) => {
+      tune(s)
+      import graft.textops.TextOps
+      val c = Corpus.pageText(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      c.orderBy(col("n_occurrences").desc, col("token").asc).limit(512)
+        .withColumn("tok_rank", row_number().over(
+          Window.orderBy(col("n_occurrences").desc, col("token").asc))
+          .cast("long"))
     }),
     // DSIR importance-weighted selection (Xie et al. 2023) made
     // integer-exact: hashed-unigram target/raw bit-weights, per-doc
@@ -111,30 +187,33 @@ object GraphBreadthQueries {
       |  SELECT DISTINCT a.pid a, b.pid b
       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.pid < b.pid)""".stripMargin
 
-  /** UrlOps.canonicalizeUrl + hostOf mirror over an (src_url, href)
-    * CTE named `l` — the same parse chain as the q_url_canon oracle. */
-  private val canonHrefSql: String = {
+  /** UrlOps.canonicalizeUrl + hostOf mirror — the q_url_canon parse
+    * chain — over a CTE named `l` with a `href` column plus `carry`
+    * columns that ride through unchanged. Ends in CTE `c` with
+    * (carry..., href, dst_host, dst_url). */
+  private def canonChainSql(carry: String*): String = {
+    val cc = carry.map(_ + ", ").mkString
     val params = "array_to_string(list_sort(list_filter(string_split(qs, '&'), " +
       "x -> NOT starts_with(x, 'utm_'))), '&')"
-    s"""p AS (SELECT src_url, split_part(href, '#', 1) nofrag FROM l),
+    s"""p AS (SELECT ${cc}href, split_part(href, '#', 1) nofrag FROM l),
        |q AS (
-       |  SELECT src_url, split_part(nofrag, '?', 1) base,
+       |  SELECT ${cc}href, split_part(nofrag, '?', 1) base,
        |    CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2) ELSE '' END qs
        |  FROM p),
        |r AS (
-       |  SELECT src_url, qs,
+       |  SELECT ${cc}href, qs,
        |    lower(split_part(base, '://', 1)) scheme,
        |    split_part(split_part(base, '://', 2), '/', 1) hostport,
        |    substr(split_part(base, '://', 2),
        |           length(split_part(split_part(base, '://', 2), '/', 1)) + 1) pathraw
        |  FROM q),
        |s AS (
-       |  SELECT src_url, qs, scheme, pathraw,
+       |  SELECT ${cc}href, qs, scheme, pathraw,
        |    lower(split_part(hostport, ':', 1)) host,
        |    CASE WHEN contains(hostport, ':') THEN split_part(hostport, ':', 2) ELSE '' END port
        |  FROM r),
        |c AS (
-       |  SELECT src_url, host dst_host,
+       |  SELECT ${cc}href, host dst_host,
        |    scheme || '://' || host ||
        |    CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
        |              OR (scheme = 'http' AND port = '80')
@@ -147,7 +226,61 @@ object GraphBreadthQueries {
        |  FROM s)""".stripMargin
   }
 
+  /** The linkyHtml fixture, DuckDB-side (CTEs o + h). */
+  private val linkyHtmlSql: String =
+    """o AS (SELECT o_orderkey k FROM orders),
+      |h AS (
+      |  SELECT 'https://ex.org/' || k src_url,
+      |    '<html><body><a href="https://ex.org/' || CAST(k * 2 AS BIGINT) || '">next2</a>' ||
+      |    CASE WHEN k % 3 = 0 THEN '<a href="HTTPS://EX.ORG:443/' || (k + 1) || '#top">next</a>' ELSE '' END ||
+      |    CASE WHEN k % 5 = 0 THEN '<a href="https://cdn.example.net:8443/static/' || k || '">img</a>' ELSE '' END ||
+      |    CASE WHEN k % 7 = 0 THEN '<a href="http://m' || (k % 4) || '.mirror.net/p/' || k || '">m</a>' ELSE '' END ||
+      |    '</body></html>' html
+      |  FROM o)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_anchor_edges" ->
+      s"""WITH $linkyHtmlSql,
+         |l AS (
+         |  SELECT src_url,
+         |    unnest(regexp_extract_all(html, '${UrlOps.AnchorRe}', 1)) href,
+         |    unnest(regexp_extract_all(html, '${UrlOps.AnchorRe}', 2)) anchor
+         |  FROM h),
+         |${canonChainSql("src_url", "anchor")},
+         |pg AS (SELECT 'https://ex.org/' || o_orderkey page_url FROM orders)
+         |SELECT src_url subject_id, 'links_to' relation_label,
+         |       dst_url object_id, anchor
+         |FROM c JOIN pg ON c.dst_url = pg.page_url""".stripMargin,
+    "q_recrawl_latest" ->
+      s"""WITH l AS (
+         |  SELECT 'https://ex.org/' || o_orderkey href, o_orderdate + INTERVAL 0 DAY ts FROM orders
+         |  UNION ALL
+         |  SELECT 'HTTPS://EX.ORG:443/' || o_orderkey || '#frag', o_orderdate + INTERVAL 1 DAY FROM orders WHERE o_orderkey % 3 = 0
+         |  UNION ALL
+         |  SELECT 'https://ex.org/' || o_orderkey || '?utm_source=x&b=2&a=1', o_orderdate + INTERVAL 2 DAY FROM orders WHERE o_orderkey % 5 = 0
+         |  UNION ALL
+         |  SELECT 'https://ex.org/' || o_orderkey || '/', o_orderdate + INTERVAL 3 DAY FROM orders WHERE o_orderkey % 7 = 0
+         |  UNION ALL
+         |  SELECT 'https://ex.org:8080/' || o_orderkey, o_orderdate + INTERVAL 4 DAY FROM orders WHERE o_orderkey % 11 = 0),
+         |${canonChainSql("ts")},
+         |sel AS (
+         |  SELECT dst_url canon_url, href, ts,
+         |    row_number() OVER (PARTITION BY dst_url ORDER BY ts DESC, href ASC) rn,
+         |    count(*) OVER (PARTITION BY dst_url) n
+         |  FROM c)
+         |SELECT canon_url, CAST(n AS BIGINT) n_crawls, href latest_url,
+         |       strftime(ts, '%Y-%m-%d') latest_day
+         |FROM sel WHERE rn = 1""".stripMargin,
+    "q_vocab_topk" ->
+      s"""WITH pages AS (
+        |${CoreQueries.pageTextSql}),
+        |t AS (SELECT unnest(string_split(text, ' ')) token FROM pages),
+        |cnt AS (SELECT token, count(*) n FROM t GROUP BY 1),
+        |r AS (
+        |  SELECT token, CAST(n AS BIGINT) n_occurrences,
+        |    CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) tok_rank
+        |  FROM cnt)
+        |SELECT token, n_occurrences, tok_rank FROM r WHERE tok_rank <= 512""".stripMargin,
     "q_triangles" ->
       s"""WITH $edgesSql,
          |tri AS (
@@ -162,19 +295,11 @@ object GraphBreadthQueries {
          |SELECT v node_id, CAST(count(*) AS BIGINT) n_triangles
          |FROM corners GROUP BY 1""".stripMargin,
     "q_web_graph" ->
-      s"""WITH o AS (SELECT o_orderkey k FROM orders),
-         |h AS (
-         |  SELECT 'https://ex.org/' || k src_url,
-         |    '<html><body><a href="https://ex.org/' || CAST(k * 2 AS BIGINT) || '">next2</a>' ||
-         |    CASE WHEN k % 3 = 0 THEN '<a href="HTTPS://EX.ORG:443/' || (k + 1) || '#top">next</a>' ELSE '' END ||
-         |    CASE WHEN k % 5 = 0 THEN '<a href="https://cdn.example.net:8443/static/' || k || '">img</a>' ELSE '' END ||
-         |    CASE WHEN k % 7 = 0 THEN '<a href="http://m' || (k % 4) || '.mirror.net/p/' || k || '">m</a>' ELSE '' END ||
-         |    '</body></html>' html
-         |  FROM o),
+      s"""WITH $linkyHtmlSql,
          |l AS (
          |  SELECT src_url, unnest(regexp_extract_all(html, '${UrlOps.HrefRe}', 1)) href
          |  FROM h),
-         |$canonHrefSql,
+         |${canonChainSql("src_url")},
          |pg AS (SELECT 'https://ex.org/' || o_orderkey page_url FROM orders)
          |SELECT dst_host, CAST(count(*) AS BIGINT) n_links,
          |       CAST(count(DISTINCT src_url) AS BIGINT) n_src_pages,

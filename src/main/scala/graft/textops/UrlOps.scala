@@ -68,6 +68,21 @@ object UrlOps {
   def extractHrefs(html: Column): Column =
     regexp_extract_all(html, lit(HrefRe), lit(1))
 
+  /** Full href-first anchor tags (`<a href="u" ...>text</a>`), same
+    * Java∩RE2 discipline. Group 1 = href, group 2 = anchor text. */
+  val AnchorRe = "<a href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+
+  /** One row per anchor: struct(href, anchor). Spark's
+    * regexp_extract_all returns ONE group per call, so full matches are
+    * extracted once and the two groups pulled per element — still all
+    * codegen'd string work, no UDF, map-side only. */
+  def extractAnchors(html: Column): Column =
+    transform(
+      regexp_extract_all(html, lit(AnchorRe), lit(0)),
+      m => struct(
+        regexp_extract(m, AnchorRe, 1).as("href"),
+        regexp_extract(m, AnchorRe, 2).as("anchor")))
+
   /** The lowercased host of a URL column (port and path stripped) —
     * same parse steps as [[canonicalizeUrl]], pure string Columns. */
   def hostOf(u: Column): Column = {

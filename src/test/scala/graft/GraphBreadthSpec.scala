@@ -57,6 +57,14 @@ class GraphBreadthSpec extends AnyFunSuite {
       .select(UrlOps.extractHrefs(col("h"))).as[Seq[String]].head().isEmpty)
   }
 
+  test("extractAnchors: (href, text) pairs; extra attributes after href allowed") {
+    val html = """<a href="https://a.b/1">one</a><img src="x"/><a href="https://a.b/2" rel="nofollow">two words</a>"""
+    val r = Seq(html).toDF("h")
+      .select(explode(UrlOps.extractAnchors(col("h"))).as("a"))
+      .select("a.href", "a.anchor").as[(String, String)].collect().toSeq
+    assert(r == Seq("https://a.b/1" -> "one", "https://a.b/2" -> "two words"))
+  }
+
   test("hostOf: lowercases, strips port/path/query/fragment") {
     val cases = Seq(
       "https://EX.org:443/p" -> "ex.org",
