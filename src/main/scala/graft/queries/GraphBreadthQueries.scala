@@ -36,6 +36,24 @@ object GraphBreadthQueries {
       .distinct()
   }
 
+  private val KcoreK = 3
+  private val KcoreRounds = 6
+
+  /** Chain+doubling page graph: undirected edges (k, k+1) and (k, 2k)
+    * for orderkeys whose partner exists — sparse (max degree 4), cyclic
+    * (the k..2k chain closes against the doubling edge), with a long
+    * peelable periphery. Both joins are equi-joins against the key set
+    * itself; a < b by construction. */
+  private def chainDoubleEdges(s: SparkSession, dir: String): DataFrame = {
+    val ks = Corpus.table(s, dir, "orders").select(col("o_orderkey").as("k"))
+    val succ = ks.alias("x").join(ks.alias("y"), col("y.k") === col("x.k") + 1)
+      .select(col("x.k").as("a"), col("y.k").as("b"))
+    val dbl = ks.alias("x").join(ks.alias("y"),
+        col("y.k") === col("x.k") * 2 && col("x.k") > 0)
+      .select(col("x.k").as("a"), col("y.k").as("b"))
+    succ.unionByName(dbl).distinct()
+  }
+
   /** The messy-link crawl: one html page per order with 1-4 anchors —
     * an in-range-doubling link (resolves for half the keys), an
     * upper-cased default-port fragment link, and two off-site links.
@@ -92,6 +110,41 @@ object GraphBreadthQueries {
         .agg(count(lit(1)).as("n_links"),
           countDistinct(col("src_url")).as("n_src_pages"),
           sum(when(col("page_url").isNotNull, 1L).otherwise(0L)).as("n_resolved"))
+    }),
+    // Fixed-round k-core peeling (k=3, 6 rounds) over the chain+
+    // doubling page graph (edges k—k+1 and k—2k where both endpoints
+    // exist) — a sparse graph with a deep genuine cascade (at sf0.01
+    // the active set walks 15000 → 11248 → … → 1868 across the six
+    // rounds). The oracle replays every round as generated MATERIALIZED
+    // CTEs.
+    "q_kcore" -> ((s, dir) => {
+      tune(s)
+      graft.graph.KCore.peel(chainDoubleEdges(s, dir), "a", "b",
+        k = KcoreK, rounds = KcoreRounds)
+    }),
+    // Per-document TF-IDF keywords, integer-exact: idf = floorlog2(N)
+    // − floorlog2(df) whole bits (the LmScore discipline), score =
+    // tf · idf_bits, top-3 per page by (score desc, token asc). One
+    // (url, token) reduce, one vocab-keyed join (AQE broadcasts the
+    // dim-sized side), a per-doc window bounded by tokens-per-doc.
+    "q_doc_keywords" -> ((s, dir) => {
+      tune(s)
+      import graft.textops.TextOps
+      val pages = Corpus.pageText(s, dir).select("url", "text")
+      val tf = pages
+        .select(col("url"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("url", "token").agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(pages.agg(count(lit(1)).as("n_docs"))))
+        .select(col("token"),
+          (length(bin(col("n_docs"))) - length(bin(col("df")))).as("idf_bits"))
+      val w = Window.partitionBy("url")
+        .orderBy(col("score_bits").desc, col("token").asc)
+      tf.join(idf, Seq("token"))
+        .withColumn("score_bits", (col("tf") * col("idf_bits")).cast("long"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("url", "token", "tf", "score_bits", "rk")
     }),
     // Anchor-text KG edges from HTML: (src page) -[links_to, anchor
     // text as evidence]-> (dst page), targets canonicalized and
@@ -238,7 +291,51 @@ object GraphBreadthQueries {
       |    '</body></html>' html
       |  FROM o)""".stripMargin
 
+  /** Every KCore.peel round unrolled as MATERIALIZED CTEs (plain CTEs
+    * re-inline the doubly-referenced active set each round — 2^rounds
+    * blowup; MATERIALIZED keeps the replay linear, exactly like the
+    * engine's per-round localCheckpoint). */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH ks AS MATERIALIZED (SELECT o_orderkey k FROM orders),
+        |e AS MATERIALIZED (
+        |  SELECT a.k a, b.k b FROM ks a JOIN ks b ON b.k = a.k + 1
+        |  UNION
+        |  SELECT a.k, b.k FROM ks a JOIN ks b ON b.k = a.k * 2 AND a.k > 0),
+        |a0 AS MATERIALIZED (
+        |  SELECT DISTINCT v FROM (SELECT a v FROM e UNION ALL SELECT b v FROM e))""".stripMargin
+    val body = (1 to rounds).map { r =>
+      s"""er$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e
+         |  JOIN a${r - 1} x ON x.v = e.a JOIN a${r - 1} y ON y.v = e.b),
+         |d$r AS MATERIALIZED (
+         |  SELECT v, count(*) deg
+         |  FROM (SELECT a v FROM er$r UNION ALL SELECT b v FROM er$r) GROUP BY 1),
+         |a$r AS MATERIALIZED (SELECT v FROM d$r WHERE deg >= $k)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$head$body
+       |SELECT v node_id, CAST(deg AS BIGINT) core_deg
+       |FROM d$rounds WHERE deg >= $k""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_kcore" -> kcoreSql(KcoreK, KcoreRounds),
+    "q_doc_keywords" ->
+      s"""WITH pages AS (
+         |${CoreQueries.pageTextSql}),
+         |tok AS (SELECT url, unnest(string_split(text, ' ')) token FROM pages),
+         |tfs AS (SELECT url, token, count(*) tf FROM tok GROUP BY 1, 2),
+         |dfs AS (SELECT token, count(*) dfc FROM tfs GROUP BY 1),
+         |nn AS (SELECT count(*) n FROM pages),
+         |sc AS (
+         |  SELECT url, token, CAST(tf AS BIGINT) tf,
+         |    CAST(tf * (length(bin((SELECT n FROM nn))) - length(bin(dfc))) AS BIGINT) score_bits
+         |  FROM tfs JOIN dfs USING (token)),
+         |rk AS (
+         |  SELECT url, token, tf, score_bits,
+         |    CAST(row_number() OVER (PARTITION BY url ORDER BY score_bits DESC, token ASC) AS BIGINT) rk
+         |  FROM sc)
+         |SELECT url, token, tf, score_bits, rk FROM rk WHERE rk <= 3""".stripMargin,
     "q_anchor_edges" ->
       s"""WITH $linkyHtmlSql,
          |l AS (

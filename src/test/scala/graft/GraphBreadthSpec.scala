@@ -46,6 +46,32 @@ class GraphBreadthSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  // ---------------------------------------------------------------- KCore
+
+  test("kcore: tail chain peels one node per round; triangle core survives") {
+    // triangle (1,2,3) + tail 3-4-5-6; k=2:
+    // round 1 drops 6 (deg 1), round 2 drops 5, round 3 drops 4 —
+    // a genuine cascade — leaving the triangle with degrees (2,2,3->2)
+    val e = edges(("1", "2"), ("1", "3"), ("2", "3"),
+      ("3", "4"), ("4", "5"), ("5", "6"))
+    val r3 = graft.graph.KCore.peel(e, "a", "b", k = 2, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(r3 == Map("1" -> 2L, "2" -> 2L, "3" -> 3L))
+    // one more round: 3's degree settles to 2; the set is now stable
+    val r4 = graft.graph.KCore.peel(e, "a", "b", k = 2, rounds = 4)
+      .as[(String, Long)].collect().toMap
+    assert(r4 == Map("1" -> 2L, "2" -> 2L, "3" -> 2L))
+    // fewer rounds = shallower peel: after 1 round only node 6 is gone
+    val r1 = graft.graph.KCore.peel(e, "a", "b", k = 2, rounds = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r1.keySet == Set("1", "2", "3", "4", "5"))
+  }
+
+  test("kcore: k above the max degree empties the graph in one round") {
+    val e = edges(("1", "2"), ("2", "3"))
+    assert(graft.graph.KCore.peel(e, "a", "b", k = 5, rounds = 1).count() === 0)
+  }
+
   // ------------------------------------------------------------- UrlOps
 
   test("extractHrefs: all double-quoted hrefs in order; none elsewhere") {
