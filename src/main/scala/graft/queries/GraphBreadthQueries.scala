@@ -38,6 +38,9 @@ object GraphBreadthQueries {
 
   private val KcoreK = 3
   private val KcoreRounds = 6
+  private val KmeansC = 8
+  private val KmeansIters = 3
+  private val KmeansDim = 64
 
   /** Chain+doubling page graph: undirected edges (k, k+1) and (k, 2k)
     * for orderkeys whose partner exists — sparse (max degree 4), cyclic
@@ -110,6 +113,19 @@ object GraphBreadthQueries {
         .agg(count(lit(1)).as("n_links"),
           countDistinct(col("src_url")).as("n_src_pages"),
           sum(when(col("page_url").isNotNull, 1L).otherwise(0L)).as("n_resolved"))
+    }),
+    // Integer-exact Lloyd k-means TRAINING (c=8, 3 rounds) over
+    // SQ8-quantized embeddings — upgrades the trained-quantizer path
+    // from recall-spec-gated to fully oracle-checked: seeds, every
+    // assignment, every floor-mean update and the final cluster census
+    // replay bit-for-bit in DuckDB (generated MATERIALIZED CTEs, the
+    // q_kcore discipline).
+    "q_kmeans" -> ((s, dir) => {
+      tune(s)
+      graft.sim.KMeansInt.trainAssign(
+        Corpus.table(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("emb")),
+        c = KmeansC, iters = KmeansIters)
     }),
     // Fixed-round k-core peeling (k=3, 6 rounds) over the chain+
     // doubling page graph (edges k—k+1 and k—2k where both endpoints
@@ -318,7 +334,53 @@ object GraphBreadthQueries {
        |FROM d$rounds WHERE deg >= $k""".stripMargin
   }
 
+  /** KMeansInt.trainAssign unrolled: sq8 codes, id-ordered seeds, then
+    * per round an assignment (min (dist, cid)) and a floor-mean update
+    * with empty-cluster carryover, ending in the final census. */
+  private def kmeansSql(c: Int, iters: Int, dim: Int): String = {
+    val distSql = s"list_reduce([CAST(0 AS BIGINT)] || " +
+      s"list_transform(generate_series(1, $dim), " +
+      s"i -> (e.z[i] - ct.z[i]) * (e.z[i] - ct.z[i])), (x, y) -> x + y)"
+    def assignCte(name: String, centCte: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT id, cid FROM (
+         |    SELECT e.id, ct.cid,
+         |      row_number() OVER (PARTITION BY e.id ORDER BY $distSql, ct.cid) rn
+         |    FROM emb e CROSS JOIN $centCte ct)
+         |  WHERE rn = 1)""".stripMargin
+    val head =
+      s"""WITH emb AS MATERIALIZED (
+         |  SELECT vec_id id,
+         |    list_transform(embedding, x -> CAST(greatest(least(floor(x*127.0 + 0.5), 127), -127) AS BIGINT)) z
+         |  FROM embeddings),
+         |c0 AS MATERIALIZED (
+         |  SELECT rn cid, z FROM (
+         |    SELECT z, row_number() OVER (ORDER BY id) rn FROM emb)
+         |  WHERE rn <= $c)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""${assignCte(s"a$r", s"c${r - 1}")},
+         |x$r AS MATERIALIZED (
+         |  SELECT a.cid, unnest(generate_series(1, len(e.z))) d, unnest(e.z) v
+         |  FROM a$r a JOIN emb e USING (id)),
+         |m$r AS MATERIALIZED (
+         |  SELECT cid, d,
+         |    CAST(floor(CAST(sum(v) AS BIGINT) / count(*)) AS BIGINT) mv
+         |  FROM x$r GROUP BY 1, 2),
+         |c$r AS MATERIALIZED (
+         |  SELECT cid, list(mv ORDER BY d) z FROM m$r GROUP BY 1
+         |  UNION ALL
+         |  SELECT p.cid, p.z FROM c${r - 1} p
+         |  WHERE p.cid NOT IN (SELECT cid FROM m$r))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$head$rounds,
+       |${assignCte("af", s"c$iters")}
+       |SELECT ct.cid, CAST(n.n AS BIGINT) n_members, ct.z centroid
+       |FROM (SELECT cid, count(*) n FROM af GROUP BY 1) n
+       |JOIN c$iters ct USING (cid)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_kmeans" -> kmeansSql(KmeansC, KmeansIters, KmeansDim),
     "q_kcore" -> kcoreSql(KcoreK, KcoreRounds),
     "q_doc_keywords" ->
       s"""WITH pages AS (

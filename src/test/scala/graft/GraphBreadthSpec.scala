@@ -104,6 +104,37 @@ class GraphBreadthSpec extends AnyFunSuite {
     cases.foreach { case (u, h) => assert(got(u) == h, u) }
   }
 
+  // ------------------------------------------------------------- KMeansInt
+
+  private def vecs(vs: (Long, Seq[Float])*) = vs.toDF("id", "emb")
+
+  test("kmeans: two clusters, floor-mean centroids, stable after round 1") {
+    // codes: 1.0->127, 0.9->114, -0.9->-114, -1.0->-127
+    // seeds (lowest ids): c1=(127,127), c2=(-127,-127)
+    // means: c1 = floor(241/2) = 120; c2 = floor(-241/2) = -121
+    val d = vecs(
+      1L -> Seq(1.0f, 1.0f), 2L -> Seq(-1.0f, -1.0f),
+      3L -> Seq(0.9f, 0.9f), 4L -> Seq(-0.9f, -0.9f))
+    val r = graft.sim.KMeansInt.trainAssign(d, c = 2, iters = 3)
+      .as[(Long, Long, Seq[Long])].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r == Map(
+      1L -> ((2L, Seq(120L, 120L))),
+      2L -> ((2L, Seq(-121L, -121L)))))
+  }
+
+  test("kmeans: distance ties go to the lowest cid; empty cluster keeps its seed and is unreported") {
+    // seeds c1=c2=(127,127) (duplicate points), c3=(0,0): every point on
+    // the duplicate goes to c1, c2 never gets a member
+    val d = vecs(1L -> Seq(1.0f, 1.0f), 2L -> Seq(1.0f, 1.0f), 3L -> Seq(0.0f, 0.0f))
+    val r = graft.sim.KMeansInt.trainAssign(d, c = 3, iters = 2)
+      .as[(Long, Long, Seq[Long])].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r == Map(
+      1L -> ((2L, Seq(127L, 127L))),
+      3L -> ((1L, Seq(0L, 0L)))))
+  }
+
   // --------------------------------------------------------------- DSIR
 
   test("dsir: target-exclusive tokens score 0 bits; raw-only tokens score negative") {
