@@ -173,7 +173,7 @@ object BreadthQueries {
 
   /** DuckDB mirror of TextOps.fingerprint over string_split tokens
     * (same integer fold as the q_doc_fingerprint oracle). */
-  private val fpSql =
+  private[queries] val fpSql =
     """list_reduce([0] || list_transform(string_split(text, ' '),
       |    t -> (ord(t[1])*7 + length(t)) % 1048576),
       |    (a,b) -> (a*31+b) % 1048576)""".stripMargin

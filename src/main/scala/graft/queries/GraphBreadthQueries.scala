@@ -114,6 +114,36 @@ object GraphBreadthQueries {
           countDistinct(col("src_url")).as("n_src_pages"),
           sum(when(col("page_url").isNotNull, 1L).otherwise(0L)).as("n_resolved"))
     }),
+    // Incremental crawl diff (the CDX-style what-changed pass a
+    // recurring crawl runs before re-processing): old crawl = the page
+    // corpus; new crawl = deterministic churn (every 9th page gone,
+    // every 4th survivor edited, a /new/ page per 13th key). Change
+    // detection is FINGERPRINT-based (the at-scale trade: 8-byte
+    // compare, collision risk carried identically by both engines),
+    // one full-outer equi-join on url.
+    "q_crawl_diff" -> ((s, dir) => {
+      tune(s)
+      import graft.textops.TextOps
+      def fp(c: org.apache.spark.sql.Column) =
+        TextOps.fingerprint(TextOps.tokens(c))
+      val p = Corpus.pageText(s, dir).select(col("url"), col("text"),
+        regexp_extract(col("url"), "([0-9]+)$", 1).cast("long").as("k"))
+      val oldC = p.select(col("url"), fp(col("text")).as("fp_old"))
+      val newC = p.filter(pmod(col("k"), lit(9)) =!= 0)
+        .select(col("url"),
+          when(pmod(col("k"), lit(4)) === 0,
+            concat(col("text"), lit(" UPDATED"))).otherwise(col("text")).as("text"))
+        .unionByName(p.filter(pmod(col("k"), lit(13)) === 0)
+          .select(concat(lit("https://ex.org/new/"), col("k")).as("url"),
+            concat(lit("New page "), col("k")).as("text")))
+        .select(col("url"), fp(col("text")).as("fp_new"))
+      oldC.join(newC, Seq("url"), "full_outer")
+        .select(col("url"),
+          when(col("fp_old").isNull, lit("added"))
+            .when(col("fp_new").isNull, lit("removed"))
+            .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+            .otherwise(lit("same")).as("status"))
+    }),
     // Integer-exact Lloyd k-means TRAINING (c=8, 3 rounds) over
     // SQ8-quantized embeddings — upgrades the trained-quantizer path
     // from recall-spec-gated to fully oracle-checked: seeds, every
@@ -380,6 +410,24 @@ object GraphBreadthQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_crawl_diff" ->
+      s"""WITH pages AS (
+         |${CoreQueries.pageTextSql}),
+         |p AS (
+         |  SELECT url, text, CAST(regexp_extract(url, '([0-9]+)$$', 1) AS BIGINT) k
+         |  FROM pages),
+         |oldc AS (SELECT url, ${BreadthQueries.fpSql} fp_old FROM p),
+         |np AS (
+         |  SELECT url, CASE WHEN k % 4 = 0 THEN text || ' UPDATED' ELSE text END AS text
+         |  FROM p WHERE k % 9 <> 0
+         |  UNION ALL
+         |  SELECT 'https://ex.org/new/' || k, 'New page ' || k FROM p WHERE k % 13 = 0),
+         |newc AS (SELECT url, ${BreadthQueries.fpSql} fp_new FROM np)
+         |SELECT coalesce(o.url, n.url) url,
+         |  CASE WHEN o.url IS NULL THEN 'added'
+         |       WHEN n.url IS NULL THEN 'removed'
+         |       WHEN o.fp_old <> n.fp_new THEN 'changed' ELSE 'same' END status
+         |FROM oldc o FULL OUTER JOIN newc n ON o.url = n.url""".stripMargin,
     "q_kmeans" -> kmeansSql(KmeansC, KmeansIters, KmeansDim),
     "q_kcore" -> kcoreSql(KcoreK, KcoreRounds),
     "q_doc_keywords" ->
