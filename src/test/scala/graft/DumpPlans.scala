@@ -34,7 +34,11 @@ object DumpPlans {
       "q_span_dedup", "q_doc_repetition", "q_user_sessions",
       "q_schema_rollup", "q_doc_tokens_bpe",
       "q_decontaminate", "q_url_canon", "q_filter_funnel",
-      "q_mix_sample", "q_stratified_sample", "q_pii_redact")
+      "q_mix_sample", "q_stratified_sample", "q_pii_redact",
+      // round-6 breadth wave
+      "q_triangles", "q_kcore", "q_web_graph", "q_anchor_edges",
+      "q_recrawl_latest", "q_vocab_topk", "q_dsir_select",
+      "q_doc_keywords", "q_kmeans", "q_crawl_diff")
     val sb = new StringBuilder
     names.foreach { n =>
       sb.append(s"===== $n =====\n")
