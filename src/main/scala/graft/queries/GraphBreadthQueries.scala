@@ -41,6 +41,8 @@ object GraphBreadthQueries {
   private val KmeansC = 8
   private val KmeansIters = 3
   private val KmeansDim = 64
+  private val LpRounds = 4
+  private val WalkLen = 4
 
   /** Chain+doubling page graph: undirected edges (k, k+1) and (k, 2k)
     * for orderkeys whose partner exists — sparse (max degree 4), cyclic
@@ -113,6 +115,26 @@ object GraphBreadthQueries {
         .agg(count(lit(1)).as("n_links"),
           countDistinct(col("src_url")).as("n_src_pages"),
           sum(when(col("page_url").isNotNull, 1L).otherwise(0L)).as("n_resolved"))
+    }),
+    // Fixed-round majority label propagation (Raghavan et al. 2007
+    // communities; min-label LP would just re-derive CC) over the
+    // chain+doubling graph: 16 scattered seed labels (v % 16), each
+    // round every node adopts its neighbors' most frequent label, ties
+    // to the smallest — deterministic, 4 rounds, replayed per round.
+    "q_label_prop" -> ((s, dir) => {
+      tune(s)
+      graft.graph.LabelProp.propagate(chainDoubleEdges(s, dir), "a", "b",
+        v => pmod(v, lit(16L)), rounds = LpRounds)
+    }),
+    // Deterministic random-walk corpus (DeepWalk's training sentences):
+    // one 4-step walk per node over the DIRECTED chain+doubling graph,
+    // next hop = sortedNbrs[hash(cur, step) % deg] with the MINSTD
+    // constants — both engines emit the identical walk corpus; sinks
+    // end walks early.
+    "q_random_walks" -> ((s, dir) => {
+      tune(s)
+      graft.graph.RandomWalks.walks(chainDoubleEdges(s, dir), "a", "b",
+        len = WalkLen)
     }),
     // Incremental crawl diff (the CDX-style what-changed pass a
     // recurring crawl runs before re-processing): old crawl = the page
@@ -341,13 +363,17 @@ object GraphBreadthQueries {
     * re-inline the doubly-referenced active set each round — 2^rounds
     * blowup; MATERIALIZED keeps the replay linear, exactly like the
     * engine's per-round localCheckpoint). */
+  /** chainDoubleEdges DuckDB-side (CTEs ks + e). */
+  private val chainEdgesSql: String =
+    """ks AS MATERIALIZED (SELECT o_orderkey k FROM orders),
+      |e AS MATERIALIZED (
+      |  SELECT a.k a, b.k b FROM ks a JOIN ks b ON b.k = a.k + 1
+      |  UNION
+      |  SELECT a.k, b.k FROM ks a JOIN ks b ON b.k = a.k * 2 AND a.k > 0)""".stripMargin
+
   private def kcoreSql(k: Int, rounds: Int): String = {
     val head =
-      """WITH ks AS MATERIALIZED (SELECT o_orderkey k FROM orders),
-        |e AS MATERIALIZED (
-        |  SELECT a.k a, b.k b FROM ks a JOIN ks b ON b.k = a.k + 1
-        |  UNION
-        |  SELECT a.k, b.k FROM ks a JOIN ks b ON b.k = a.k * 2 AND a.k > 0),
+      s"""WITH $chainEdgesSql,
         |a0 AS MATERIALIZED (
         |  SELECT DISTINCT v FROM (SELECT a v FROM e UNION ALL SELECT b v FROM e))""".stripMargin
     val body = (1 to rounds).map { r =>
@@ -409,7 +435,49 @@ object GraphBreadthQueries {
        |JOIN c$iters ct USING (cid)""".stripMargin
   }
 
+  /** LabelProp.propagate unrolled: symmetrized edges, v%16 seeds, per
+    * round a neighbor-label count and the (n desc, label asc) pick. */
+  private def labelPropSql(rounds: Int): String = {
+    val body = (1 to rounds).map { r =>
+      s"""g$r AS MATERIALIZED (
+         |  SELECT s.a v, l.label, count(*) n
+         |  FROM sym s JOIN l${r - 1} l ON l.v = s.b GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (
+         |  SELECT v, label FROM (
+         |    SELECT v, label,
+         |      row_number() OVER (PARTITION BY v ORDER BY n DESC, label ASC) rn
+         |    FROM g$r)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""WITH $chainEdgesSql,
+       |sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT a v, a % 16 AS label FROM sym)$body
+       |SELECT v node_id, CAST(label AS BIGINT) AS label FROM l$rounds""".stripMargin
+  }
+
+  /** RandomWalks.walks unrolled: sorted out-adjacency, per step the
+    * hash-indexed neighbor pick, walks ending at sinks. */
+  private def walksSql(len: Int): String = {
+    def pick(cur: String, s: Int): String =
+      s"a.nbrs[CAST((($cur * 48271 + $s * 8191) % 2147483647) % len(a.nbrs) AS BIGINT) + 1]"
+    val body = (1 to len).map { s =>
+      val (src, cur) = if (s == 1) ("w0", "f.cur") else (s"w${s - 1}", "f.at_node")
+      s"""w$s AS MATERIALIZED (
+         |  SELECT f.start_id, ${pick(cur, s)} at_node
+         |  FROM $src f JOIN adj a ON a.cur = $cur)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val out = (1 to len)
+      .map(s => s"SELECT start_id, CAST($s AS BIGINT) step, at_node FROM w$s")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $chainEdgesSql,
+       |adj AS MATERIALIZED (SELECT a cur, list(b ORDER BY b) nbrs FROM e GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT cur start_id, cur FROM adj)$body
+       |$out""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_label_prop" -> labelPropSql(LpRounds),
+    "q_random_walks" -> walksSql(WalkLen),
     "q_crawl_diff" ->
       s"""WITH pages AS (
          |${CoreQueries.pageTextSql}),

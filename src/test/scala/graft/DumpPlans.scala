@@ -38,7 +38,8 @@ object DumpPlans {
       // round-6 breadth wave
       "q_triangles", "q_kcore", "q_web_graph", "q_anchor_edges",
       "q_recrawl_latest", "q_vocab_topk", "q_dsir_select",
-      "q_doc_keywords", "q_kmeans", "q_crawl_diff")
+      "q_doc_keywords", "q_kmeans", "q_crawl_diff",
+      "q_label_prop", "q_random_walks")
     val sb = new StringBuilder
     names.foreach { n =>
       sb.append(s"===== $n =====\n")

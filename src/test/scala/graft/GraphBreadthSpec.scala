@@ -72,6 +72,45 @@ class GraphBreadthSpec extends AnyFunSuite {
     assert(graft.graph.KCore.peel(e, "a", "b", k = 5, rounds = 1).count() === 0)
   }
 
+  // ------------------------------------------------------------ LabelProp
+
+  test("labelprop: majority wins, ties to smallest label") {
+    // hub h—a, h—b, h—c with seeds a,b=5 c=7 (v%16 of 5,21,7): majority 5
+    val e = edges(("5", "100"), ("21", "100"), ("7", "100"))
+    val r = graft.graph.LabelProp.propagate(e, "a", "b",
+      v => pmod(v.cast("long"), lit(16L)), rounds = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r("100") == 5L) // neighbors' labels {5, 5, 7} -> 5
+    assert(r("5") == 4L && r("21") == 4L && r("7") == 4L) // 100 % 16
+    // two-neighbor tie {5, 7} -> smallest
+    val t = graft.graph.LabelProp.propagate(
+      edges(("5", "100"), ("7", "100")), "a", "b",
+      v => pmod(v.cast("long"), lit(16L)), rounds = 1)
+      .as[(String, Long)].collect().toMap
+    assert(t("100") == 5L)
+  }
+
+  test("labelprop: fixed rounds are the contract — a bipartite path oscillates deterministically") {
+    val e = edges(("1", "2"), ("2", "3")) // seeds (v%2): 1,0,1
+    def run(r: Int) = graft.graph.LabelProp.propagate(e, "a", "b",
+      v => pmod(v.cast("long"), lit(2L)), rounds = r)
+      .as[(String, Long)].collect().toMap
+    assert(run(1) == Map("1" -> 0L, "2" -> 1L, "3" -> 0L))
+    assert(run(2) == Map("1" -> 1L, "2" -> 0L, "3" -> 1L))
+  }
+
+  // ---------------------------------------------------------- RandomWalks
+
+  test("random walks: hash-indexed hops replay exactly; sinks end walks early") {
+    // adj: 1 -> [2,3], 2 -> [3]; 3 is a sink
+    // from 1: step1 idx = (1*48271 + 8191) % 2 = 0 -> 2; step2 from 2 -> 3; step3: sink
+    // from 2: step1 -> 3; done
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d")
+    val r = graft.graph.RandomWalks.walks(e, "s", "d", len = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((1L, 1L, 2L), (1L, 2L, 3L), (2L, 1L, 3L)))
+  }
+
   // ------------------------------------------------------------- UrlOps
 
   test("extractHrefs: all double-quoted hrefs in order; none elsewhere") {
