@@ -136,6 +136,30 @@ object GraphBreadthQueries {
       graft.graph.RandomWalks.walks(chainDoubleEdges(s, dir), "a", "b",
         len = WalkLen)
     }),
+    // JSONL ingest (the wire format most public LLM corpora ship as):
+    // the corpus round-trips through newline-delimited JSON written by
+    // the engine and re-read with an EXPLICIT schema (no inference
+    // pass at scale) in DROPMALFORMED mode — every 101st line is
+    // truncated mid-object and must be dropped (the WARC skip-bad-
+    // record contract); the oracle excludes exactly those pages, so
+    // over-keeping and over-dropping both fail the hash compare.
+    "q_jsonl_read" -> ((s, dir) => {
+      tune(s)
+      val pages = Corpus.pageText(s, dir)
+      val raw = pages.select(
+        to_json(struct(col("url"), col("text"), col("lang"))).as("j"),
+        substring(col("url"), 16, 32).cast("long").as("k"))
+      val lines = raw.select(
+        when(pmod(col("k"), lit(101)) === 0,
+          expr("substring(j, 1, length(j) - 5)")).otherwise(col("j")).as("value"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+        s.sparkContext.applicationId
+      lines.coalesce(4).write.mode("overwrite").text(path)
+      s.read.schema("url STRING, text STRING, lang STRING")
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+        .select("url", "text", "lang")
+    }),
     // Incremental crawl diff (the CDX-style what-changed pass a
     // recurring crawl runs before re-processing): old crawl = the page
     // corpus; new crawl = deterministic churn (every 9th page gone,
@@ -476,6 +500,10 @@ object GraphBreadthQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_jsonl_read" ->
+      s"""SELECT url, text, lang FROM (
+         |${CoreQueries.pageTextSql.replace("AS text", "AS text, 'en' AS lang")}
+         |) WHERE CAST(substring(url, 16) AS BIGINT) % 101 <> 0""".stripMargin,
     "q_label_prop" -> labelPropSql(LpRounds),
     "q_random_walks" -> walksSql(WalkLen),
     "q_crawl_diff" ->
