@@ -7,10 +7,18 @@ import graft.fixtures.Corpus
 import graft.queries.CoreQueries.tune
 import graft.textops.{Dsir, UrlOps}
 
-/** Round-6 breadth block: structural graph census (triangles), the
-  * web-link graph extraction step (hrefs → host graph with intra-crawl
-  * resolution), and DSIR importance-weighted data selection — each a
-  * distinct operator shape with a full value-level DuckDB oracle.
+/** Round-6 breadth block — each entry a DISTINCT operator shape with a
+  * full value-level DuckDB oracle:
+  *  - graph census/ML: triangles, fixed-round k-core, majority label
+  *    propagation, deterministic random-walk corpus, integer k-means;
+  *  - web graph: href/anchor extraction → host graph + links_to edges,
+  *    recrawl collapse, incremental crawl diff;
+  *  - sources: JSONL ingest (explicit schema, drop-malformed);
+  *  - data selection/text: DSIR importance resampling, TF-IDF
+  *    keywords, vocabulary top-K.
+  * Iterative oracles are generated as unrolled MATERIALIZED CTEs —
+  * plain CTEs re-inline multiply-referenced round states (exponential
+  * replay); MATERIALIZED mirrors the engine's per-round checkpoint.
   */
 object GraphBreadthQueries {
 
