@@ -26,6 +26,7 @@ object KCore {
   def peel(edges: DataFrame, aCol: String, bCol: String, k: Int, rounds: Int): DataFrame = {
     require(rounds >= 1, "at least one peel round")
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true) // probed twice per round — never re-derive upstream
     var active = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v"))).distinct()
     var deg: DataFrame = null

@@ -28,10 +28,15 @@ object Triangles {
     * nodes in no triangle absent. Input must be an undirected SIMPLE
     * edge list with `aCol` < `bCol` (one row per edge, no loops). */
   def perNode(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // e feeds the degree count (twice), the orientation and the closure
+    // probe; deg feeds both endpoints' rank joins — materialize both so
+    // an expensive upstream edge derivation never re-executes
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
     // rank = (degree, id); orient src -> dst with rank(src) < rank(dst)
     val da = deg.select(col("v").as("a"), col("d").as("da"))
     val db = deg.select(col("v").as("b"), col("d").as("db"))

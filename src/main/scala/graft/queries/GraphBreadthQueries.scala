@@ -163,10 +163,16 @@ object GraphBreadthQueries {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
         s.sparkContext.applicationId
       lines.coalesce(4).write.mode("overwrite").text(path)
-      s.read.schema("url STRING, text STRING, lang STRING")
+      // materialize BEFORE cleanup: a lazily-read result would race a
+      // re-invocation's overwrite of the same path (the q_warc_read
+      // discipline)
+      val out = s.read.schema("url STRING, text STRING, lang STRING")
         .option("mode", "DROPMALFORMED")
         .json(path)
         .select("url", "text", "lang")
+        .localCheckpoint(true)
+      graft.store.GraphStore.deleteRecursively(java.nio.file.Path.of(path))
+      out
     }),
     // Incremental crawl diff (the CDX-style what-changed pass a
     // recurring crawl runs before re-processing): old crawl = the page
@@ -391,10 +397,6 @@ object GraphBreadthQueries {
       |    '</body></html>' html
       |  FROM o)""".stripMargin
 
-  /** Every KCore.peel round unrolled as MATERIALIZED CTEs (plain CTEs
-    * re-inline the doubly-referenced active set each round — 2^rounds
-    * blowup; MATERIALIZED keeps the replay linear, exactly like the
-    * engine's per-round localCheckpoint). */
   /** chainDoubleEdges DuckDB-side (CTEs ks + e). */
   private val chainEdgesSql: String =
     """ks AS MATERIALIZED (SELECT o_orderkey k FROM orders),
@@ -403,6 +405,10 @@ object GraphBreadthQueries {
       |  UNION
       |  SELECT a.k, b.k FROM ks a JOIN ks b ON b.k = a.k * 2 AND a.k > 0)""".stripMargin
 
+  /** Every KCore.peel round unrolled as MATERIALIZED CTEs (plain CTEs
+    * re-inline the doubly-referenced active set each round — 2^rounds
+    * blowup; MATERIALIZED keeps the replay linear, exactly like the
+    * engine's per-round localCheckpoint). */
   private def kcoreSql(k: Int, rounds: Int): String = {
     val head =
       s"""WITH $chainEdgesSql,
@@ -426,8 +432,10 @@ object GraphBreadthQueries {
     * per round an assignment (min (dist, cid)) and a floor-mean update
     * with empty-cluster carryover, ending in the final census. */
   private def kmeansSql(c: Int, iters: Int, dim: Int): String = {
+    // iterate len(e.z), not the dim constant, so the oracle stays
+    // self-consistent with its own update CTE if the fixture dim moves
     val distSql = s"list_reduce([CAST(0 AS BIGINT)] || " +
-      s"list_transform(generate_series(1, $dim), " +
+      s"list_transform(generate_series(1, len(e.z)), " +
       s"i -> (e.z[i] - ct.z[i]) * (e.z[i] - ct.z[i])), (x, y) -> x + y)"
     def assignCte(name: String, centCte: String): String =
       s"""$name AS MATERIALIZED (

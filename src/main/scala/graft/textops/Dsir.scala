@@ -44,18 +44,22 @@ object Dsir {
     * per-token importance bit-rate. */
   def importanceSelect(docs: DataFrame, isTarget: Column, idCol: String,
       textCol: String, dim: Int = 256, tauMilli: Long = -5000L): DataFrame = {
-    val feats = docs.select(col(idCol).as("doc_id"), isTarget.as("is_tgt"),
+    // ONE tokenize+hash pass over the pool: reduce straight to the
+    // (doc, f) grain, materialize, and derive the weight table from
+    // that far smaller frame — the pool text is never scanned twice
+    val per = docs.select(col(idCol).as("doc_id"), isTarget.as("is_tgt"),
         explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), col("is_tgt"),
         pmod(DedupOps.tokenCode(col("tok"), DedupOps.CHAR_M),
           lit(dim.toLong)).as("f"))
-    val weights = feats.groupBy("f")
-      .agg(count(lit(1)).as("rc"),
-        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tc"))
+      .groupBy("doc_id", "is_tgt", "f").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val weights = per.groupBy("f")
+      .agg(sum(col("n")).as("rc"),
+        sum(when(col("is_tgt"), col("n")).otherwise(0L)).as("tc"))
       .select(col("f"),
         (floorLog2(col("tc") + 1) - floorLog2(col("rc") + 1)).as("w_bits"))
-    feats.groupBy("doc_id", "f").agg(count(lit(1)).as("n"))
-      .join(broadcast(weights), Seq("f"))
+    per.join(broadcast(weights), Seq("f"))
       .groupBy("doc_id")
       .agg(sum(col("n")).cast("long").as("n_feat"),
         sum(col("n") * col("w_bits")).cast("long").as("logw_bits"))

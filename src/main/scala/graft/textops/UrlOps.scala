@@ -25,32 +25,41 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
-  /** Canonical form of a URL column (rules above). Assumes
-    * `scheme://host[:port][/path][?query][#fragment]` shape — the shape
-    * a crawler's frontier emits. */
-  def canonicalizeUrl(u: Column): Column = {
+  /** The `scheme://host[:port][/path][?query][#fragment]` decomposition
+    * shared by [[canonicalizeUrl]] and [[hostOf]] — ONE parse chain, so
+    * a rule change cannot silently diverge the two (the DuckDB mirror
+    * derives both host and canon url from one chain too). */
+  private case class UrlParts(scheme: Column, host: Column, port: Column,
+      pathRaw: Column, qs: Column)
+
+  private def parse(u: Column): UrlParts = {
     val noFrag = substring_index(u, "#", 1)
     val base = substring_index(noFrag, "?", 1)
     // everything after the '?' ('' when absent: start > length)
     val qs = noFrag.substr(length(base) + 2, length(noFrag))
     val rawScheme = substring_index(base, "://", 1)
-    val scheme = lower(rawScheme)
     val rest = base.substr(length(rawScheme) + 4, length(base))
     val hostport = substring_index(rest, "/", 1)
     val pathRaw = rest.substr(length(hostport) + 1, length(rest))
     val rawHost = substring_index(hostport, ":", 1)
-    val host = lower(rawHost)
     val port = hostport.substr(length(rawHost) + 2, length(hostport))
-    val defaultPort = (scheme === "https" && port === "443") ||
-      (scheme === "http" && port === "80") || port === ""
-    val path0 = when(pathRaw === "", lit("/")).otherwise(pathRaw)
+    UrlParts(lower(rawScheme), lower(rawHost), port, pathRaw, qs)
+  }
+
+  /** Canonical form of a URL column (rules above). Assumes the
+    * [[parse]] shape — the shape a crawler's frontier emits. */
+  def canonicalizeUrl(u: Column): Column = {
+    val p = parse(u)
+    val defaultPort = (p.scheme === "https" && p.port === "443") ||
+      (p.scheme === "http" && p.port === "80") || p.port === ""
+    val path0 = when(p.pathRaw === "", lit("/")).otherwise(p.pathRaw)
     val path = when(path0 =!= "/" && path0.endsWith("/"),
       path0.substr(lit(1), length(path0) - 1)).otherwise(path0)
     val params = array_join(
-      sort_array(filter(split(qs, "&"), p => !p.startsWith("utm_"))), "&")
+      sort_array(filter(split(p.qs, "&"), x => !x.startsWith("utm_"))), "&")
     concat(
-      scheme, lit("://"), host,
-      when(defaultPort, lit("")).otherwise(concat(lit(":"), port)),
+      p.scheme, lit("://"), p.host,
+      when(defaultPort, lit("")).otherwise(concat(lit(":"), p.port)),
       path,
       when(params === "", lit("")).otherwise(concat(lit("?"), params)))
   }
@@ -84,12 +93,6 @@ object UrlOps {
         regexp_extract(m, AnchorRe, 2).as("anchor")))
 
   /** The lowercased host of a URL column (port and path stripped) —
-    * same parse steps as [[canonicalizeUrl]], pure string Columns. */
-  def hostOf(u: Column): Column = {
-    val base = substring_index(substring_index(u, "#", 1), "?", 1)
-    val rawScheme = substring_index(base, "://", 1)
-    val rest = base.substr(length(rawScheme) + 4, length(base))
-    val hostport = substring_index(rest, "/", 1)
-    lower(substring_index(hostport, ":", 1))
-  }
+    * the [[parse]] chain's host, pure string Columns. */
+  def hostOf(u: Column): Column = parse(u).host
 }
