@@ -144,6 +144,30 @@ object GraphBreadthQueries {
       graft.graph.RandomWalks.walks(chainDoubleEdges(s, dir), "a", "b",
         len = WalkLen)
     }),
+    // URL blocklist filtering (the UT1-blocklist stage of public web
+    // pipelines): every distinct crawled href against (host, path
+    // prefix) rules — a HOST-equi broadcast join (never a prefix scan
+    // of the corpus) with the starts_with predicate evaluated only on
+    // the matched-host slice. Output keeps every URL with its verdict
+    // so over- and under-blocking both fail the compare.
+    "q_url_filter" -> ((s, dir) => {
+      tune(s)
+      import s.implicits._
+      val urls = linkyHtml(s, dir)
+        .select(explode(UrlOps.extractHrefs(col("html"))).as("url"))
+        .distinct()
+        .select(col("url"), UrlOps.hostOf(col("url")).as("host"),
+          UrlOps.pathOf(col("url")).as("path"))
+      val block = Seq(
+        ("cdn.example.net", "/static"),
+        ("m1.mirror.net", "/"),
+        ("ex.org", "/1")).toDF("b_host", "b_prefix")
+      urls.join(broadcast(block),
+          col("host") === col("b_host") &&
+            col("path").startsWith(col("b_prefix")), "left")
+        .groupBy("url", "host", "path")
+        .agg((count(col("b_host")) > 0).as("blocked"))
+    }),
     // JSONL ingest (the wire format most public LLM corpora ship as):
     // the corpus round-trips through newline-delimited JSON written by
     // the engine and re-read with an EXPLICIT schema (no inference
@@ -373,6 +397,10 @@ object GraphBreadthQueries {
        |  FROM r),
        |c AS (
        |  SELECT ${cc}href, host dst_host,
+       |    CASE WHEN pathraw = '' THEN '/'
+       |         WHEN pathraw <> '/' AND pathraw LIKE '%/'
+       |         THEN substr(pathraw, 1, length(pathraw) - 1)
+       |         ELSE pathraw END dst_path,
        |    scheme || '://' || host ||
        |    CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
        |              OR (scheme = 'http' AND port = '80')
@@ -516,6 +544,21 @@ object GraphBreadthQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_url_filter" ->
+      s"""WITH $linkyHtmlSql,
+         |l AS (
+         |  SELECT DISTINCT unnest(regexp_extract_all(html, '${UrlOps.HrefRe}', 1)) href
+         |  FROM h),
+         |${canonChainSql()},
+         |b AS (SELECT * FROM (VALUES
+         |  ('cdn.example.net', '/static'),
+         |  ('m1.mirror.net', '/'),
+         |  ('ex.org', '/1')) v(b_host, b_prefix))
+         |SELECT href url, dst_host host, dst_path path,
+         |       count(b_host) > 0 blocked
+         |FROM c LEFT JOIN b
+         |  ON c.dst_host = b.b_host AND starts_with(c.dst_path, b.b_prefix)
+         |GROUP BY 1, 2, 3""".stripMargin,
     "q_jsonl_read" ->
       s"""SELECT url, text, lang FROM (
          |${CoreQueries.pageTextSql.replace("AS text", "AS text, 'en' AS lang")}

@@ -46,23 +46,32 @@ object UrlOps {
     UrlParts(lower(rawScheme), lower(rawHost), port, pathRaw, qs)
   }
 
+  /** Rule 5: empty path -> "/", one trailing slash stripped off
+    * non-root paths. */
+  private def normPath(p: UrlParts): Column = {
+    val path0 = when(p.pathRaw === "", lit("/")).otherwise(p.pathRaw)
+    when(path0 =!= "/" && path0.endsWith("/"),
+      path0.substr(lit(1), length(path0) - 1)).otherwise(path0)
+  }
+
   /** Canonical form of a URL column (rules above). Assumes the
     * [[parse]] shape — the shape a crawler's frontier emits. */
   def canonicalizeUrl(u: Column): Column = {
     val p = parse(u)
     val defaultPort = (p.scheme === "https" && p.port === "443") ||
       (p.scheme === "http" && p.port === "80") || p.port === ""
-    val path0 = when(p.pathRaw === "", lit("/")).otherwise(p.pathRaw)
-    val path = when(path0 =!= "/" && path0.endsWith("/"),
-      path0.substr(lit(1), length(path0) - 1)).otherwise(path0)
     val params = array_join(
       sort_array(filter(split(p.qs, "&"), x => !x.startsWith("utm_"))), "&")
     concat(
       p.scheme, lit("://"), p.host,
       when(defaultPort, lit("")).otherwise(concat(lit(":"), p.port)),
-      path,
+      normPath(p),
       when(params === "", lit("")).otherwise(concat(lit("?"), params)))
   }
+
+  /** The normalized path of a URL column (the canon form's path piece)
+    * — what a blocklist's path-prefix rules match against. */
+  def pathOf(u: Column): Column = normPath(parse(u))
 
   /** Anchor-href extraction pattern, held in the Java-regex ∩ RE2
     * common subset (the PiiOps discipline) so the IDENTICAL pattern
