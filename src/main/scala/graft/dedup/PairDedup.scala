@@ -69,16 +69,16 @@ object PairDedup {
     val nHot = post.filter(col("pl.total") > maxDf).count()
     if (nHot > 0)
       println(s"[coOccurrencePairs] excluded $nHot hot items with df > $maxDf")
-    val ds = col("ds")
-    val pairExpr = flatten(transform(
-      sequence(lit(0), size(ds) - 2),
-      i => transform(
-        slice(ds, i + 2, size(ds) - i - 1),
-        k2 => struct(element_at(ds, i + 1).as("k1"), k2.as("k2")))))
+    // Streaming pair generation (PairExprs.UnorderedPairs): the same
+    // (k1, k2) stream the transform/slice/flatten/explode form emitted,
+    // without materializing the d·(d−1)/2 pair array (plus slice tail
+    // copies) per posting — that materialization, not the aggregation,
+    // dominated the dense-posting families' CPU (shares_part: postings
+    // of ~10^3 suppliers per canonical part).
     val pairs = post.filter(col("pl.total") <= maxDf)
-      .select(col("pl.items").as("ds"))
-      .select(explode(pairExpr).as("p"))
-      .groupBy(col("p.k1").as("k1"), col("p.k2").as("k2"))
+      .select(graft.functions.PairExprs.unorderedPairs(col("pl.items"))
+        .as(Seq("k1", "k2")))
+      .groupBy(col("k1"), col("k2"))
       .agg(count(lit(1)).as("n_common"))
       .localCheckpoint(true)
     post.unpersist(false)

@@ -161,8 +161,14 @@ object BoundedAggs {
     udaf(new PipeSetUnionCappedAgg(k), Encoders.STRING)
 
   /** Posting-list state: collected ids (stops growing past cap+1) +
-    * EXACT input row count. */
-  final case class LongListState(items: Array[Long], total: Long)
+    * EXACT input row count. `n` is the logical element count — `items`
+    * may be over-allocated (amortized doubling in reduce; the old
+    * `items :+ x` re-copied the whole array per input row, making a
+    * d-element posting cost O(d²) element copies — the dominant
+    * aggregation cost of the dense-posting co-occurrence families).
+    * Only [[CappedLongListAgg.finish]] exposes the state to callers,
+    * and it trims to `n`, so the over-allocation never escapes. */
+  final case class LongListState(items: Array[Long], n: Int, total: Long)
 
   /** Bounded posting-list collection for inverted-index builds: keeps
     * at most `cap`+1 collected ids per group — one element beyond the
@@ -183,27 +189,39 @@ object BoundedAggs {
       extends Aggregator[Long, LongListState, LongListState] {
     require(cap > 0, "cap must be positive")
 
-    override def zero: LongListState = LongListState(Array.empty, 0L)
+    override def zero: LongListState = LongListState(Array.empty, 0, 0L)
 
-    override def reduce(b: LongListState, x: Long): LongListState =
-      if (b.items.length > cap) LongListState(b.items, b.total + 1)
-      else LongListState(b.items :+ x, b.total + 1)
+    override def reduce(b: LongListState, x: Long): LongListState = {
+      if (b.n > cap) return LongListState(b.items, b.n, b.total + 1)
+      // Amortized growth (capacity doubles, clamped to cap+1): O(1)
+      // per row instead of the O(n) full-array re-copy of `items :+ x`.
+      // Mutating the buffer in place and returning it is the standard
+      // Aggregator reduce contract.
+      val items =
+        if (b.n < b.items.length) b.items
+        else {
+          val newCap = math.min(math.max(16, b.items.length * 2), cap + 1)
+          java.util.Arrays.copyOf(b.items, newCap)
+        }
+      items(b.n) = x
+      LongListState(items, b.n + 1, b.total + 1)
+    }
 
     override def merge(a: LongListState, c: LongListState): LongListState = {
-      val keep = math.min(a.items.length + c.items.length, cap + 1)
+      val keep = math.min(a.n + c.n, cap + 1)
       val out = new Array[Long](keep)
-      val fromA = math.min(a.items.length, keep)
+      val fromA = math.min(a.n, keep)
       System.arraycopy(a.items, 0, out, 0, fromA)
       System.arraycopy(c.items, 0, out, fromA, keep - fromA)
-      LongListState(out, a.total + c.total)
+      LongListState(out, keep, a.total + c.total)
     }
 
     override def finish(r: LongListState): LongListState = {
       // sorted output only matters for complete (non-overflowed) lists,
       // but sorting <= cap+1 elements unconditionally is trivial
-      val s = r.items.clone()
+      val s = java.util.Arrays.copyOf(r.items, r.n)
       java.util.Arrays.sort(s)
-      LongListState(s, r.total)
+      LongListState(s, r.n, r.total)
     }
     override def bufferEncoder: Encoder[LongListState] =
       Encoders.product[LongListState]

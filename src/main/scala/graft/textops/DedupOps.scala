@@ -74,16 +74,14 @@ object DedupOps {
     if (nHot > 0)
       println(s"[ngramJaccardPairs] excluded $nHot hot shingles with df > $maxDf from the shingle universe")
     // Complete (never-truncated) sorted postings: total <= maxDf = cap.
-    val postings = allPostings.filter(col("pl.total") <= maxDf)
-      .select(col("sh"), col("pl.items").as("ds"))
-    val pairExpr = flatten(transform(
-      sequence(lit(0), size(col("ds")) - 2),
-      i => transform(
-        slice(col("ds"), i + 2, size(col("ds")) - i - 1),
-        d2 => struct(element_at(col("ds"), i + 1).as("id1"), d2.as("id2")))))
-    val pairs = postings
-      .select(explode(pairExpr).as("p"))
-      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+    // Pairs stream from each posting via the O(1)-memory generator
+    // (PairExprs.UnorderedPairs) — same (id1, id2) stream as the old
+    // transform/slice/flatten/explode form, none of its per-posting
+    // pair-array materialization.
+    val pairs = allPostings.filter(col("pl.total") <= maxDf)
+      .select(graft.functions.PairExprs.unorderedPairs(col("pl.items"))
+        .as(Seq("id1", "id2")))
+      .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("common"))
     // Retained-universe sizes: identical to the raw set sizes unless hot
     // shingles exist, in which case each doc's size counts only shingles

@@ -198,16 +198,14 @@ object Triples {
     * pair canonicalized k1 < k2 in string order. */
   def coOrderedFromSets(pageSets: DataFrame, canon: DataFrame): DataFrame = {
     val ps = col("ps")
-    val pairExpr = flatten(transform(
-      sequence(lit(0), size(ps) - 2),
-      i => transform(
-        slice(ps, i + 2, size(ps) - i - 1),
-        p2 => struct(
-          least(element_at(ps, i + 1), p2).as("h1"),
-          greatest(element_at(ps, i + 1), p2).as("h2")))))
+    // Streaming pair generation over the SORTED set: ascending order
+    // makes every emitted pair already (h1 < h2), so the pair SET is
+    // identical to the old least/greatest-per-position-pair form (the
+    // downstream distinct erases the only difference, emission order)
+    // — without materializing the per-page pair array.
     val hp = pageSets.filter(size(ps) >= 2)
-      .select(explode(pairExpr).as("p"))
-      .select(col("p.h1"), col("p.h2"))
+      .select(graft.functions.PairExprs.unorderedPairs(array_sort(ps))
+        .as(Seq("h1", "h2")))
       .distinct()
     val dim = broadcast(canonDim(canon))
     hp.join(dim.select(col("ce").as("h1"), col("canonical_id").as("c1")), "h1")
