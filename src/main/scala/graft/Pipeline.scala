@@ -260,10 +260,18 @@ object Pipeline {
         .map(_.withColumn("props_arr", map().cast("map<string,array<string>>"))
           .withColumn("embedding", lit(null).cast("array<float>")))
         .reduce(_ unionByName _)
+      // One exchange on the bucket key before the partitioned write:
+      // without it every upstream partition of the 12-family union
+      // writes its own file per bucket directory (~270 files of ~16 KB
+      // at sf0.1), and the write + lineage read-back pay the per-file
+      // open/close three times. After: one task per occupied bucket,
+      // 32 right-sized files. The shuffled payload is the final node
+      // set itself — a few MB per 10^5 nodes.
       Triples.nodesTyped(Corpus.relationalEntityNodes(spark, sfDir),
           Corpus.nodeAttrs(spark, sfDir))
         .unionByName(plain)
         .withColumn("bucket", pmod(xxhash64(col("id")), lit(32)))
+        .repartition(32, col("bucket"))
     }
     mark("nodes")
     // Edges: multi-source fusion (web co-mentions + order ledger —
@@ -391,6 +399,14 @@ object Pipeline {
         .join(ids.withColumnRenamed("id", "subject_id"), Seq("subject_id"), "left_semi")
         .join(ids.withColumnRenamed("id", "object_id"), Seq("object_id"), "left_semi")
         .withColumn("bucket", pmod(xxhash64(col("subject_id")), lit(32)))
+        // One exchange on the bucket key before the partitioned write:
+        // the ~40-family union otherwise leaves ~170 writing tasks that
+        // each open a file per bucket directory — 5,439 files averaging
+        // 7 KB at sf0.1, paid three times (write, lineage read-back,
+        // final count). After: one task per occupied bucket, 32
+        // right-sized files. Costs one shuffle of the final edge set
+        // (~40 MB zstd-equivalent), which the file-open savings repay.
+        .repartition(32, col("bucket"))
     }
     mark("edges")
     lineFacts.unpersist(false)

@@ -143,9 +143,35 @@ object ConnectedComponents {
   def run(spark: SparkSession, edges: DataFrame,
           vertices: Option[DataFrame] = None, maxIter: Int = 50,
           verbose: Boolean = false, localThreshold: Long = LocalThreshold): DataFrame = {
-    val e0 = cp(edges.select(col("src"), col("dst"))
+    // Path choice on the RAW edge count: one metadata-cheap scan job,
+    // no shuffle. Raw >= distinct, so a graph this sends down the
+    // distributed path is never one the local path should have taken;
+    // the local union-find is duplicate- and self-loop-tolerant, so
+    // the local path needs no distinct at all — the pre-slimming shape
+    // (localCheckpoint(distinct) + count + allVerts distinct + join)
+    // paid two extra shuffles and a materialization of fixed latency
+    // on EVERY canonicalIds call.
+    val rawEdges = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct())
+    if (rawEdges.count() <= localThreshold) {
+      // (member, component) for every edge endpoint, single task.
+      val mapped = cp(localUnionFind(rawEdges))
+      return vertices match {
+        case None => mapped
+        case Some(vs) =>
+          // Universe-only vertices are singleton components; mapped
+          // already holds every edge endpoint, so the attach is a
+          // broadcast anti-join — the universe side never shuffles
+          // beyond its own dedup.
+          val extra = vs.select(col("v")).distinct()
+            .join(broadcast(mapped.select(col("member"))),
+              col("v") === col("member"), "left_anti")
+            .select(col("v").as("member"), col("v").as("component"))
+          cp(mapped.unionByName(extra))
+      }
+    }
+
+    val e0 = cp(rawEdges.distinct())
     val nEdges = e0.count()
     val nparts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism,
@@ -158,23 +184,15 @@ object ConnectedComponents {
     spark.conf.set("spark.sql.shuffle.partitions", nparts.toString)
     try {
 
-    // Consumed exactly once (the final member join) in BOTH paths — a
-    // lazy plan, not a checkpoint: eagerly materializing it was one
-    // whole wasted pass of fixed per-call latency (VERDICT r2 Wrong #5).
+    // Consumed exactly once (the final member join) — a lazy plan, not
+    // a checkpoint: eagerly materializing it was one whole wasted pass
+    // of fixed per-call latency (VERDICT r2 Wrong #5).
     val allVerts = e0.select(col("src").as("v"))
       .union(e0.select(col("dst").as("v")))
       .union(vertices.map(_.select(col("v"))).getOrElse(
         e0.select(col("src").as("v")).limit(0)))
       .distinct()
       .repartition(nparts, col("v"))
-
-    if (nEdges <= localThreshold) {
-      val mapped = localUnionFind(e0)
-      return cp(allVerts.alias("av")
-        .join(mapped.alias("mp"), col("av.v") === col("mp.member"), "left")
-        .select(col("av.v").as("member"),
-          coalesce(col("mp.component"), col("av.v")).as("component")))
-    }
 
     // Small-graph fast path: below this size the per-vertex min mapping
     // is broadcast in the star joins, making each round map-only
