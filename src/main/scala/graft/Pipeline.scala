@@ -60,6 +60,13 @@ object Pipeline {
     // a misdeclared type/prop/lineage fails HERE with the full typed
     // error list, not as an AnalysisException deep inside a builder.
     graft.schema.KgSchema.validateConfig()
+    // Catalyst constraint propagation is O(plan²)-ish on the ~40-family
+    // union this pipeline plans, and buys nothing here (no filters to
+    // infer — every family scans its source fully). Off for the scope
+    // of this run only; queries keep the session default. Same-window
+    // A/B at sf0.1/32t: pipeline 50.6 s → 48.2 s, identical outputs.
+    val prevCP = spark.conf.get("spark.sql.constraintPropagation.enabled")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     val t0 = System.nanoTime()
     var tLast = t0
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -232,6 +239,50 @@ object Pipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docLangFacts = Corpus.docLangFactsFrom(docFacts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The SHARED line-fact projection (r4 Next #2): ~14 edge families
+    // all reduce the same enriched lineitem (⨝ orders ⨝ customer ⨝
+    // part ⨝ canon, dims broadcast). Materialized ONCE here and every
+    // family below is a pure group-by over the cached frame. persist()
+    // is lazy, so a resumed run never materializes it.
+    val lineFacts = Corpus.lineFacts(spark, sfDir, Some(canon))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // followed_by is both its own family and the regulates input —
+    // PERSISTED so it truly computes once (ADVICE r4). Lazy, like
+    // lineFacts; unpersisted after the edges commit.
+    val followedBy = Corpus.followedByEdges(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The five edge builders with EAGER actions inside (bounded-posting
+    // caps + near-dup candidate materialization) start BEFORE the nodes
+    // commit: the nodes write keeps only ~1/3 of the task slots busy,
+    // so these families' jobs back-fill the idle capacity instead of
+    // serializing after it (guide-style job overlap). Resume
+    // discipline preserved: when the edges snapshot is already fresh,
+    // no future is started and nothing here materializes.
+    // Job labels are thread-local, so each family's jobs stay
+    // attributable in listener timelines.
+    val edgesFresh =
+      GraphStore.committedFingerprint(storeBase, "edges").contains(fpEdges)
+    def eager[T](desc: String)(f: => T): Future[T] =
+      if (edgesFresh) null
+      else Future {
+        spark.sparkContext.setJobDescription(desc)
+        try f finally spark.sparkContext.setJobDescription(null)
+      }
+    val bundleWithF = eager("edges: bundle_with")(
+      Corpus.bundleWithFrom(lineFacts))
+    val regulatesF = eager("edges: regulates")(
+      Corpus.regulatesFrom(followedBy))
+    val nearDupF = eager("edges: near_dup_of")(
+      graft.textops.DedupOps.minhashNearDupPairsFromSigs(docFacts)
+        .select(
+          concat(lit("DOC:"), col("id1")).as("subject_id"),
+          lit("near_dup_of").as("relation_label"),
+          concat(lit("DOC:"), col("id2")).as("object_id"),
+          col("common"), col("size1"), col("size2")))
+    val sharesPartF = eager("edges: shares_part")(
+      Corpus.sharesPartFrom(lineFacts))
+    val coPurchasedF = eager("edges: co_purchased")(
+      Corpus.coPurchasedFrom(lineFacts))
     val nodes = GraphStore.getOrCompute(spark, storeBase, "nodes",
         partitionByCols = Seq("bucket"), inputFp = fpNodes, lineageAsync = true) {
       // Multi-adapter node merge (reference: one adapter per source —
@@ -278,26 +329,6 @@ object Pipeline {
     // sources/evidence set-union, reference ppi_adapter.py:1268-1303),
     // then skip-bad-relationships at the sink (reference
     // biocypher_config skip_bad_relationships) = endpoints must exist.
-    // The SHARED line-fact projection (r4 Next #2): ~14 edge families
-    // all reduce the same enriched lineitem (⨝ orders ⨝ customer ⨝
-    // part ⨝ canon, dims broadcast). Materialized ONCE here and every
-    // family below is a pure group-by over the cached frame — the
-    // edges stage pays ONE fact-table scan + one orders join instead
-    // of ~14. At 100 TB this is the conformed-fact materialization a
-    // production pipeline would stage anyway: one pass over the fact
-    // table, then cheap columnar re-reads per family. persist() is
-    // lazy, so a resumed run never materializes it.
-    val lineFacts = Corpus.lineFacts(spark, sfDir, Some(canon))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // followed_by is both its own family and the regulates input —
-    // PERSISTED so it truly computes once (ADVICE r4; passing the same
-    // lazy frame is not sharing: regulatesFrom materializes a Project
-    // over this plan, which CacheManager would not match to the bare
-    // plan the edges union evaluates later). Lazy, like lineFacts, so
-    // a resumed run never materializes it; unpersisted after the edges
-    // commit.
-    val followedBy = Corpus.followedByEdges(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = GraphStore.getOrCompute(spark, storeBase, "edges",
         partitionByCols = Seq("bucket"), inputFp = fpEdges, lineageAsync = true) {
       import graft.merge.MergeSources
@@ -336,22 +367,8 @@ object Pipeline {
       // ALL remaining declared edge families (KgSchema: 40 total) ride
       // the same store path — the persisted graph IS the declared
       // schema, not a subset (store census == q_graph_census, spec'd).
-      // The five builders with EAGER actions inside (bounded-posting
-      // caps + near-dup candidate materialization) construct
-      // concurrently — their Spark jobs interleave across the task
-      // slots instead of running serially at plan-build time.
-      val bundleWithF = Future(Corpus.bundleWithFrom(lineFacts))
-      val regulatesF = Future(Corpus.regulatesFrom(followedBy))
-      val nearDupF = Future {
-        graft.textops.DedupOps.minhashNearDupPairsFromSigs(docFacts)
-          .select(
-            concat(lit("DOC:"), col("id1")).as("subject_id"),
-            lit("near_dup_of").as("relation_label"),
-            concat(lit("DOC:"), col("id2")).as("object_id"),
-            col("common"), col("size1"), col("size2"))
-      }
-      val sharesPartF = Future(Corpus.sharesPartFrom(lineFacts))
-      val coPurchasedF = Future(Corpus.coPurchasedFrom(lineFacts))
+      // The five eager builders were started before the nodes commit
+      // (see above) and are awaited where their outputs join the union.
       val rest = Seq(
         props(Corpus.placedEdges(spark, sfDir), "year"),
         props(Corpus.containsFrom(lineFacts), "quantity", "extendedprice"),
@@ -431,6 +448,7 @@ object Pipeline {
       Stages.foreach(GraphStore.expireSnapshots(storeBase, _, retainSnapshots))
     mark("finalize")
     spark.sparkContext.removeSparkListener(counters)
+    spark.conf.set("spark.sql.constraintPropagation.enabled", prevCP)
     val secs = (System.nanoTime() - t0) / 1e9
     Result(nPages, nTriples, nNodes, audit, secs, nTriples / secs, nPages / secs,
       marks.toSeq)
