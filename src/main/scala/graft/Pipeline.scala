@@ -283,6 +283,99 @@ object Pipeline {
       Corpus.sharesPartFrom(lineFacts))
     val coPurchasedF = eager("edges: co_purchased")(
       Corpus.coPurchasedFrom(lineFacts))
+    // The edges union PLAN is also built concurrently with the nodes
+    // commit: constructing ~40 family frames runs the analyzer on each
+    // growing tree — pure single-threaded driver work that previously
+    // sat as a multi-second dead gap between the nodes commit and the
+    // first edges job, exactly when the driver is otherwise idle. The
+    // union itself folds as a balanced tree: a left fold re-analyzes a
+    // linearly growing plan per step (quadratic in family count) for
+    // the same flattened Union the optimizer produces either way.
+    val edgesPlanF: Future[DataFrame] = if (edgesFresh) null else Future {
+      import graft.merge.MergeSources
+      // Hub-skew guard: past the page threshold, witness aggregation
+      // runs two-phase salted (value-hash cells) so a popular edge's
+      // fan-in spreads over 8 reducers before the bounded cap applies —
+      // bit-identical to the single-phase path by merge associativity.
+      val salts =
+        if (nPages >= Triples.SaltPageThreshold) Triples.DefaultEvidenceSalts
+        else 1
+      val fused = MergeSources.mergeAll(
+        Seq(Triples.evidenceFromSets(pageSets, canon, salts = salts),
+          Corpus.ledgerFrom(lineFacts)),
+        keys = Seq("subject_id", "relation_label", "object_id"),
+        rules = Seq(
+          MergeSources.PipeSetUnion("sources"),
+          MergeSources.PipeSetUnion("evidence")))
+        .withColumn("properties", map(
+          lit("sources"), col("sources"),
+          lit("evidence"), col("evidence"),
+          lit("n_pages"), coalesce(col("n_pages"), lit(0L)).cast("string"),
+          lit("n_lines"), coalesce(col("n_lines"), lit(0L)).cast("string")))
+        .select(col("subject_id"), col("relation_label"), col("object_id"),
+          col("properties"))
+      // Uniform sink projection: the named typed-prop columns of each
+      // family fold into the properties map (string-encoded, the
+      // KgSchema value-typing contract); skip-bad-relationships applies
+      // to every family below.
+      def props(df: org.apache.spark.sql.DataFrame, keys: String*) = {
+        val m =
+          if (keys.isEmpty) map().cast("map<string,string>")
+          else map(keys.flatMap(k => Seq(lit(k), col(k).cast("string"))): _*)
+        df.select(col("subject_id"), col("relation_label"), col("object_id"),
+          m.as("properties"))
+      }
+      // ALL declared edge families (KgSchema: 40 total) ride the same
+      // store path — the persisted graph IS the declared schema, not a
+      // subset (store census == q_graph_census, spec'd). The five eager
+      // builders above are awaited where their outputs join the union.
+      val rest = Seq(
+        props(Corpus.placedEdges(spark, sfDir), "year"),
+        props(Corpus.containsFrom(lineFacts), "quantity", "extendedprice"),
+        props(Corpus.ofTypeEdges(spark, sfDir)),
+        props(Corpus.performedFrom(eventFacts), "n_events", "value_milli"),
+        props(Corpus.writtenInFrom(docFacts)),
+        props(Corpus.fromSourceFrom(docFacts)),
+        props(Corpus.fulfillsFrom(lineFacts), "n_lines", "qty_milli"),
+        props(Corpus.supplyFrom(lineFacts), "n_lines"),
+        props(Corpus.inRegionEdges(spark, sfDir)),
+        props(Corpus.brandedAsEdges(spark, sfDir)),
+        props(Corpus.inSegmentEdges(spark, sfDir)),
+        props(Corpus.fromNationEdges(spark, sfDir)),
+        props(Corpus.ratedFrom(lineFacts), "med_qty_milli", "n_srcs"),
+        props(Triples.coOrderedFromSets(pageSets, canon)
+          .withColumn("sources", lit("web")), "sources"),
+        props(Await.result(nearDupF, Duration.Inf), "common", "size1", "size2"),
+        props(Await.result(sharesPartF, Duration.Inf), "n_common"),
+        props(Await.result(coPurchasedF, Duration.Inf), "n_common"),
+        props(Corpus.citesFrom(docFacts), "fp"),
+        props(Corpus.touchedEdges(spark, sfDir), "n_events", "value_milli"),
+        props(Corpus.peerOfEdges(spark, sfDir)),
+        props(Corpus.nextOrderEdges(spark, sfDir), "gap_days"),
+        props(Corpus.returnedFrom(lineFacts), "n_returns", "qty_milli"),
+        props(Corpus.shipsToFrom(lineFacts), "n_orders"),
+        props(Corpus.similarToFrom(docFacts), "hamming"),
+        props(followedBy, "n_times"),
+        props(Corpus.locatedInRegionEdges(spark, sfDir)),
+        props(Corpus.bestSupplierFrom(lineFacts), "qty_milli"),
+        props(Corpus.closestPartEdges(spark, sfDir)),
+        // breadth block 5 — reference edge-vocabulary parity (40)
+        props(Corpus.inFamilyEdges(spark, sfDir)),
+        props(Corpus.variantOfEdges(spark, sfDir), "family"),
+        props(Await.result(bundleWithF, Duration.Inf), "n_common", "lift_milli"),
+        props(Await.result(regulatesF, Duration.Inf), "mode", "lift_milli"),
+        props(Corpus.prefersFrom(eventFacts), "n_events", "share_milli"),
+        props(Corpus.boughtFromFrom(lineFacts), "n_orders", "days_span"),
+        props(Corpus.representativeOrderEdges(spark, sfDir), "totalprice_milli"),
+        props(Corpus.chargedWithFrom(lineFacts), "n_items", "revenue_milli"),
+        props(Corpus.dominantLangFrom(docLangFacts), "n_docs", "share_milli"),
+        props(Corpus.handlesFrom(lineFacts), "n_parts", "brands"))
+      def unionTree(dfs: Seq[DataFrame]): DataFrame =
+        if (dfs.size == 1) dfs.head
+        else unionTree(dfs.grouped(2).map(g =>
+          if (g.size == 2) g(0).unionByName(g(1)) else g(0)).toSeq)
+      unionTree(fused +: rest)
+    }
     val nodes = GraphStore.getOrCompute(spark, storeBase, "nodes",
         partitionByCols = Seq("bucket"), inputFp = fpNodes, lineageAsync = true) {
       // Multi-adapter node merge (reference: one adapter per source —
@@ -331,88 +424,8 @@ object Pipeline {
     // biocypher_config skip_bad_relationships) = endpoints must exist.
     val edges = GraphStore.getOrCompute(spark, storeBase, "edges",
         partitionByCols = Seq("bucket"), inputFp = fpEdges, lineageAsync = true) {
-      import graft.merge.MergeSources
-      // Hub-skew guard: past the page threshold, witness aggregation
-      // runs two-phase salted (value-hash cells) so a popular edge's
-      // fan-in spreads over 8 reducers before the bounded cap applies —
-      // bit-identical to the single-phase path by merge associativity.
-      val salts =
-        if (nPages >= Triples.SaltPageThreshold) Triples.DefaultEvidenceSalts
-        else 1
-      val fused = MergeSources.mergeAll(
-        Seq(Triples.evidenceFromSets(pageSets, canon, salts = salts),
-          Corpus.ledgerFrom(lineFacts)),
-        keys = Seq("subject_id", "relation_label", "object_id"),
-        rules = Seq(
-          MergeSources.PipeSetUnion("sources"),
-          MergeSources.PipeSetUnion("evidence")))
-        .withColumn("properties", map(
-          lit("sources"), col("sources"),
-          lit("evidence"), col("evidence"),
-          lit("n_pages"), coalesce(col("n_pages"), lit(0L)).cast("string"),
-          lit("n_lines"), coalesce(col("n_lines"), lit(0L)).cast("string")))
-        .select(col("subject_id"), col("relation_label"), col("object_id"),
-          col("properties"))
-      // Uniform sink projection: the named typed-prop columns of each
-      // family fold into the properties map (string-encoded, the
-      // KgSchema value-typing contract); skip-bad-relationships applies
-      // to every family below.
-      def props(df: org.apache.spark.sql.DataFrame, keys: String*) = {
-        val m =
-          if (keys.isEmpty) map().cast("map<string,string>")
-          else map(keys.flatMap(k => Seq(lit(k), col(k).cast("string"))): _*)
-        df.select(col("subject_id"), col("relation_label"), col("object_id"),
-          m.as("properties"))
-      }
-      // ALL remaining declared edge families (KgSchema: 40 total) ride
-      // the same store path — the persisted graph IS the declared
-      // schema, not a subset (store census == q_graph_census, spec'd).
-      // The five eager builders were started before the nodes commit
-      // (see above) and are awaited where their outputs join the union.
-      val rest = Seq(
-        props(Corpus.placedEdges(spark, sfDir), "year"),
-        props(Corpus.containsFrom(lineFacts), "quantity", "extendedprice"),
-        props(Corpus.ofTypeEdges(spark, sfDir)),
-        props(Corpus.performedFrom(eventFacts), "n_events", "value_milli"),
-        props(Corpus.writtenInFrom(docFacts)),
-        props(Corpus.fromSourceFrom(docFacts)),
-        props(Corpus.fulfillsFrom(lineFacts), "n_lines", "qty_milli"),
-        props(Corpus.supplyFrom(lineFacts), "n_lines"),
-        props(Corpus.inRegionEdges(spark, sfDir)),
-        props(Corpus.brandedAsEdges(spark, sfDir)),
-        props(Corpus.inSegmentEdges(spark, sfDir)),
-        props(Corpus.fromNationEdges(spark, sfDir)),
-        props(Corpus.ratedFrom(lineFacts), "med_qty_milli", "n_srcs"),
-        props(Triples.coOrderedFromSets(pageSets, canon)
-          .withColumn("sources", lit("web")), "sources"),
-        props(Await.result(nearDupF, Duration.Inf), "common", "size1", "size2"),
-        props(Await.result(sharesPartF, Duration.Inf), "n_common"),
-        props(Await.result(coPurchasedF, Duration.Inf), "n_common"),
-        props(Corpus.citesFrom(docFacts), "fp"),
-        props(Corpus.touchedEdges(spark, sfDir), "n_events", "value_milli"),
-        props(Corpus.peerOfEdges(spark, sfDir)),
-        props(Corpus.nextOrderEdges(spark, sfDir), "gap_days"),
-        props(Corpus.returnedFrom(lineFacts), "n_returns", "qty_milli"),
-        props(Corpus.shipsToFrom(lineFacts), "n_orders"),
-        props(Corpus.similarToFrom(docFacts), "hamming"),
-        props(followedBy, "n_times"),
-        props(Corpus.locatedInRegionEdges(spark, sfDir)),
-        props(Corpus.bestSupplierFrom(lineFacts), "qty_milli"),
-        props(Corpus.closestPartEdges(spark, sfDir)),
-        // breadth block 5 — reference edge-vocabulary parity (40)
-        props(Corpus.inFamilyEdges(spark, sfDir)),
-        props(Corpus.variantOfEdges(spark, sfDir), "family"),
-        props(Await.result(bundleWithF, Duration.Inf), "n_common", "lift_milli"),
-        props(Await.result(regulatesF, Duration.Inf), "mode", "lift_milli"),
-        props(Corpus.prefersFrom(eventFacts), "n_events", "share_milli"),
-        props(Corpus.boughtFromFrom(lineFacts), "n_orders", "days_span"),
-        props(Corpus.representativeOrderEdges(spark, sfDir), "totalprice_milli"),
-        props(Corpus.chargedWithFrom(lineFacts), "n_items", "revenue_milli"),
-        props(Corpus.dominantLangFrom(docLangFacts), "n_docs", "share_milli"),
-        props(Corpus.handlesFrom(lineFacts), "n_parts", "brands"))
       val ids = nodes.select(col("id"))
-      (fused +: rest)
-        .reduce(_ unionByName _)
+      Await.result(edgesPlanF, Duration.Inf)
         .join(ids.withColumnRenamed("id", "subject_id"), Seq("subject_id"), "left_semi")
         .join(ids.withColumnRenamed("id", "object_id"), Seq("object_id"), "left_semi")
         .withColumn("bucket", pmod(xxhash64(col("subject_id")), lit(32)))
