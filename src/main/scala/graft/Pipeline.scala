@@ -140,6 +140,83 @@ object Pipeline {
       }
     }
 
+    // Hot DIMENSION tables: the 20+ family builders each scan the base
+    // tables independently (Spark has no cross-subtree scan dedup);
+    // persisting turns ~20 re-scans into one scan + cache hits via
+    // CacheManager plan matching. persist() is lazy, so a resumed run
+    // (committed snapshots fresh) never materializes them. The persist
+    // is SIZE-GATED (r4 Wrong #2): a table is cached only when its scan
+    // estimate fits the cap, so at a 100× relational scale-up the
+    // fact-shaped tables fall out of the cache automatically and stream
+    // instead. `lineitem` is not listed at all — after the lineFacts
+    // fusion it has exactly ONE consumer; `documents` likewise (the
+    // docFacts fusion leaves only the touched-edges endpoint list).
+    val dimPersistCap =
+      sys.env.getOrElse("SPARK_GRAFT_DIM_PERSIST_MAX_MB", "1024").toLong << 20
+    val hotTables = Seq("orders", "customer", "part", "events")
+      .map(n => Corpus.table(spark, sfDir, n))
+      .filter(_.queryExecution.optimizedPlan.stats.sizeInBytes <= dimPersistCap)
+      .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Shared fact-grain aggregates (the lineFacts discipline applied to
+    // the other two fact-shaped inputs): eventFacts is the (user,
+    // event_type) grain of the event stream — four families (user /
+    // event-type nodes, performed / prefers edges) are marginal rollups
+    // over it; docFacts is ONE document-corpus scan computing metadata
+    // + fingerprint + SimHash + shingle/MinHash signatures for its
+    // seven consumers; docLangFacts rolls docFacts up to (source, lang).
+    // All persisted lazily — a resumed run never materializes them.
+    val eventFacts = Corpus.eventFacts(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docFacts = Corpus.docFacts(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docLangFacts = Corpus.docLangFactsFrom(docFacts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The NODES stage depends on none of extract/mentions/canon —
+    // launched here as a concurrent commit whose jobs back-fill the
+    // extract and mentions stages' idle task slots (those two stages
+    // keep well under half the slots busy). Awaited before the edges
+    // stage, which semi-joins against the committed node ids.
+    val nodesF = Future {
+      GraphStore.getOrCompute(spark, storeBase, "nodes",
+          partitionByCols = Seq("bucket"), inputFp = fpNodes, lineageAsync = true) {
+        // Multi-adapter node merge (reference: one adapter per source —
+        // uniprot/drug/go/... — all landing in one typed node table):
+        // the COMPLETE relational entity universes + order ledger +
+        // document metadata + event stream + vocabularies + supplier/
+        // region/brand/segment, every family schema-declared in
+        // KgSchema and conformance-checked by the same violations
+        // machinery. Complete universes also guarantee every declared
+        // edge family survives skip-bad-relationships intact (store
+        // census == graph census).
+        val plain = Seq(
+          Corpus.orderNodes(spark, sfDir),
+          Corpus.documentNodesFrom(docFacts),
+          Corpus.ptypeNodes(spark, sfDir),
+          Corpus.userNodesFrom(eventFacts),
+          Corpus.eventTypeNodesFrom(eventFacts),
+          Corpus.languageNodesFrom(docLangFacts),
+          Corpus.sourceNodesFrom(docLangFacts),
+          Corpus.supplierNodes(spark, sfDir),
+          Corpus.regionNodes(spark, sfDir),
+          Corpus.brandNodes(spark, sfDir),
+          Corpus.segmentNodes(spark, sfDir))
+          .map(_.withColumn("props_arr", map().cast("map<string,array<string>>"))
+            .withColumn("embedding", lit(null).cast("array<float>")))
+          .reduce(_ unionByName _)
+        // One exchange on the bucket key before the partitioned write:
+        // without it every upstream partition of the 12-family union
+        // writes its own file per bucket directory (~270 files of
+        // ~16 KB at sf0.1), and the write + lineage read-back pay the
+        // per-file open/close three times. After: one task per occupied
+        // bucket, 32 right-sized files.
+        Triples.nodesTyped(Corpus.relationalEntityNodes(spark, sfDir),
+            Corpus.nodeAttrs(spark, sfDir))
+          .unionByName(plain)
+          .withColumn("bucket", pmod(xxhash64(col("id")), lit(32)))
+          .repartition(32, col("bucket"))
+      }
+    }
+
     // Stage 1: extract (+ per-row audit vs the reference text column).
     // Explicit url-hash repartition happens BEFORE amplification: the
     // shuffle moves only the base corpus (replicas explode map-side in
@@ -190,55 +267,6 @@ object Pipeline {
         Triples.extractFromSets(pageSets, canon)
       }
     }
-    // Typed nodes (golden schema: props, props_arr, embedding), written
-    // directory-partitioned by id-hash bucket so downstream readers
-    // prune. Order nodes join the graph here with their int/float/bool
-    // props (round(_,3) float, commaInt-parsed int, bool) — the typed-
-    // coercion vocabulary runs inside the flagship path, not just in
-    // golden unit tests.
-    // The 20+ family builders below each scan the base tables
-    // independently (Spark has no cross-subtree scan dedup); persisting
-    // the hot DIMENSION tables turns ~20 re-scans into one scan +
-    // cache hits via CacheManager plan matching. persist() is lazy, so
-    // a resumed run (committed snapshots fresh) never materializes
-    // them. The persist is SIZE-GATED (r4 Wrong #2): a table is cached
-    // only when its scan estimate fits the cap, so at a 100× relational
-    // scale-up the fact-shaped tables fall out of the cache
-    // automatically and stream instead. `lineitem` is not listed at
-    // all — after the lineFacts fusion below it has exactly ONE
-    // consumer, so caching it would be pure write amplification.
-    val dimPersistCap =
-      sys.env.getOrElse("SPARK_GRAFT_DIM_PERSIST_MAX_MB", "1024").toLong << 20
-    // `documents` is no longer listed: after the docFacts fusion below
-    // every document family reads the one persisted fact frame, so the
-    // raw table has a single remaining consumer (the touched-edges
-    // endpoint list) and caching it would be write amplification.
-    val hotTables = Seq("orders", "customer", "part", "events")
-      .map(n => Corpus.table(spark, sfDir, n))
-      .filter(_.queryExecution.optimizedPlan.stats.sizeInBytes <= dimPersistCap)
-      .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // Shared fact-grain aggregates (same discipline as lineFacts below,
-    // applied to the OTHER two fact-shaped inputs): eventFacts is the
-    // (user, event_type) grain of the event stream — four families
-    // (user/event-type nodes, performed/prefers edges) are marginal
-    // rollups over it, so the stream is scanned and shuffled once, not
-    // four times; docLangFacts likewise feeds language/source nodes +
-    // dominant_lang. Both are persisted lazily (a resumed run never
-    // materializes them) and are far smaller than their fact inputs
-    // (vocabulary × entity grain), so the persist never needs gating.
-    val eventFacts = Corpus.eventFacts(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Shared per-DOCUMENT fact pass (r5 Next #7 — the lineFacts
-    // discipline applied to the third fact-shaped input): ONE corpus
-    // scan computes metadata + fingerprint + SimHash + shingle/MinHash
-    // signatures; document nodes, written_in, from_source, cites,
-    // similar_to, near_dup_of and the language/source rollups are all
-    // marginal projections over this frame. Persisted lazily — a
-    // resumed run never materializes it.
-    val docFacts = Corpus.docFacts(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docLangFacts = Corpus.docLangFactsFrom(docFacts)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The SHARED line-fact projection (r4 Next #2): ~14 edge families
     // all reduce the same enriched lineitem (⨝ orders ⨝ customer ⨝
     // part ⨝ canon, dims broadcast). Materialized ONCE here and every
@@ -376,47 +404,7 @@ object Pipeline {
           if (g.size == 2) g(0).unionByName(g(1)) else g(0)).toSeq)
       unionTree(fused +: rest)
     }
-    val nodes = GraphStore.getOrCompute(spark, storeBase, "nodes",
-        partitionByCols = Seq("bucket"), inputFp = fpNodes, lineageAsync = true) {
-      // Multi-adapter node merge (reference: one adapter per source —
-      // uniprot/drug/go/... — all landing in one typed node table):
-      // the COMPLETE relational entity universes (all canonical
-      // products / customers / nations — the reference emits every
-      // source-DB entity, not only text-mentioned ones; mention-derived
-      // nodes are a value-identical subset) + order ledger + document
-      // metadata + event stream + vocabularies + supplier/region/brand/
-      // segment, every family schema-declared in KgSchema and
-      // conformance-checked by the same violations machinery. Complete
-      // universes also guarantee every declared edge family survives
-      // skip-bad-relationships intact (store census == graph census).
-      val plain = Seq(
-        Corpus.orderNodes(spark, sfDir),
-        Corpus.documentNodesFrom(docFacts),
-        Corpus.ptypeNodes(spark, sfDir),
-        Corpus.userNodesFrom(eventFacts),
-        Corpus.eventTypeNodesFrom(eventFacts),
-        Corpus.languageNodesFrom(docLangFacts),
-        Corpus.sourceNodesFrom(docLangFacts),
-        Corpus.supplierNodes(spark, sfDir),
-        Corpus.regionNodes(spark, sfDir),
-        Corpus.brandNodes(spark, sfDir),
-        Corpus.segmentNodes(spark, sfDir))
-        .map(_.withColumn("props_arr", map().cast("map<string,array<string>>"))
-          .withColumn("embedding", lit(null).cast("array<float>")))
-        .reduce(_ unionByName _)
-      // One exchange on the bucket key before the partitioned write:
-      // without it every upstream partition of the 12-family union
-      // writes its own file per bucket directory (~270 files of ~16 KB
-      // at sf0.1), and the write + lineage read-back pay the per-file
-      // open/close three times. After: one task per occupied bucket,
-      // 32 right-sized files. The shuffled payload is the final node
-      // set itself — a few MB per 10^5 nodes.
-      Triples.nodesTyped(Corpus.relationalEntityNodes(spark, sfDir),
-          Corpus.nodeAttrs(spark, sfDir))
-        .unionByName(plain)
-        .withColumn("bucket", pmod(xxhash64(col("id")), lit(32)))
-        .repartition(32, col("bucket"))
-    }
+    val nodes = Await.result(nodesF, Duration.Inf)
     mark("nodes")
     // Edges: multi-source fusion (web co-mentions + order ledger —
     // sources/evidence set-union, reference ppi_adapter.py:1268-1303),
