@@ -243,30 +243,13 @@ object Pipeline {
     // metadata — no data scan); decides the hub-salting threshold below.
     val nPages = extracted.count()
 
-    // Stage 2: mentions (broadcast trie; fact side never shuffles).
-    val mentions = GraphStore.getOrCompute(spark, storeBase, "mentions",
-        inputFp = fpMentions, lineageAsync = true) {
-      Linker.mentions(extracted.select("url", "text"), Corpus.aliasDict(spark, sfDir))
-    }
-    mark("mentions")
+    // The canonicalization table is awaited BEFORE the mentions commit:
+    // canonF only needs the part table and finishes during extract, and
+    // resolving it here lets the canon-dependent eager edge builders
+    // below start their jobs underneath the mentions/pagesets/nodes
+    // stages instead of after them.
     val canon = Await.result(canonF, Duration.Inf)
-    mark("canon_cc")
 
-    // Shared intermediate: per-page canonical entity sets — computed
-    // (scan + group of the big mentions table) ONCE, consumed by both
-    // the triple and the evidence/edge stages.
-    val pageSets = GraphStore.getOrCompute(spark, storeBase, "pagesets",
-        inputFp = s"pagesets-v1;$fpMentions;$fpCanon", lineageAsync = true) {
-      Triples.perPageEntitySets(mentions, canon)
-    }
-    // Triples is a reporting artifact (edges re-derive with evidence),
-    // so it runs concurrently with the nodes stage.
-    val triplesF = Future {
-      GraphStore.getOrCompute(spark, storeBase, "triples",
-        inputFp = fpTriples, lineageAsync = true) {
-        Triples.extractFromSets(pageSets, canon)
-      }
-    }
     // The SHARED line-fact projection (r4 Next #2): ~14 edge families
     // all reduce the same enriched lineitem (⨝ orders ⨝ customer ⨝
     // part ⨝ canon, dims broadcast). Materialized ONCE here and every
@@ -311,6 +294,30 @@ object Pipeline {
       Corpus.sharesPartFrom(lineFacts))
     val coPurchasedF = eager("edges: co_purchased")(
       Corpus.coPurchasedFrom(lineFacts))
+
+    // Stage 2: mentions (broadcast trie; fact side never shuffles).
+    val mentions = GraphStore.getOrCompute(spark, storeBase, "mentions",
+        inputFp = fpMentions, lineageAsync = true) {
+      Linker.mentions(extracted.select("url", "text"), Corpus.aliasDict(spark, sfDir))
+    }
+    mark("mentions")
+    mark("canon_cc")
+
+    // Shared intermediate: per-page canonical entity sets — computed
+    // (scan + group of the big mentions table) ONCE, consumed by both
+    // the triple and the evidence/edge stages.
+    val pageSets = GraphStore.getOrCompute(spark, storeBase, "pagesets",
+        inputFp = s"pagesets-v1;$fpMentions;$fpCanon", lineageAsync = true) {
+      Triples.perPageEntitySets(mentions, canon)
+    }
+    // Triples is a reporting artifact (edges re-derive with evidence),
+    // so it runs concurrently with the nodes stage.
+    val triplesF = Future {
+      GraphStore.getOrCompute(spark, storeBase, "triples",
+        inputFp = fpTriples, lineageAsync = true) {
+        Triples.extractFromSets(pageSets, canon)
+      }
+    }
     // The edges union PLAN is also built concurrently with the nodes
     // commit: constructing ~40 family frames runs the analyzer on each
     // growing tree — pure single-threaded driver work that previously
