@@ -279,9 +279,93 @@ object VectorExprs {
         cents.asInstanceOf[Array[AnyRef]])
   }
 
+  /** Asymmetric (ADC) squared-L2 distance between a full-precision
+    * query vector and the closed-form-codebook reconstruction of a PQ
+    * code array — the IVF-PQ candidate-scoring kernel. The composable
+    * form (`aggregate(sequence(0, nDims-1), 0.0, ...)` in
+    * Quant.adcDistHof) interprets one lambda step per global dimension
+    * per candidate — at millions of coarse-probe candidates that
+    * interpretation dominated q_knn_pq. This kernel computes the
+    * bit-identical sequential fold (same codebook integer mix, same
+    * acc + d·d order) in one fused loop. Null array or null element
+    * yields null (the HOF's poisoned-accumulator semantics). */
+  case class AdcDist(left: Expression, right: Expression,
+                     subDim: Int, nDims: Int) extends BinaryExpression {
+
+    require(subDim >= 1 && nDims >= 1 && nDims % subDim == 0,
+      s"bad PQ geometry: subDim=$subDim nDims=$nDims")
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(FloatType, _), ArrayType(IntegerType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs (array<float>, array<int>), got " +
+            s"${l.simpleString}, ${r.simpleString}")
+      }
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = s"adc_dist_${nDims}_$subDim"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val q = a.asInstanceOf[ArrayData]
+      val code = b.asInstanceOf[ArrayData]
+      if (q.numElements() < nDims || code.numElements() < nDims / subDim)
+        return null
+      var acc = 0.0
+      var gd = 0
+      while (gd < nDims) {
+        val m = gd / subDim
+        if (q.isNullAt(gd) || code.isNullAt(m)) return null
+        val j = code.getInt(m).toLong
+        val cv = (((gd + 1).toLong * 2654435761L + j * 40503L) % 1048576L)
+          .toDouble / 524288.0 - 1.0
+        val d = q.getFloat(gd).toDouble - cv
+        acc += d * d
+        gd += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val gd = ctx.freshName("gd")
+        val m = ctx.freshName("m")
+        val j = ctx.freshName("j")
+        val cv = ctx.freshName("cv")
+        val d = ctx.freshName("d")
+        val acc = ctx.freshName("acc")
+        s"""
+           |if ($a.numElements() < $nDims ||
+           |    $b.numElements() < ${nDims / subDim}) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $gd = 0; $gd < $nDims; $gd++) {
+           |    final int $m = $gd / $subDim;
+           |    if ($a.isNullAt($gd) || $b.isNullAt($m)) { ${ev.isNull} = true; break; }
+           |    final long $j = (long) $b.getInt($m);
+           |    final double $cv =
+           |      ((($gd + 1L) * 2654435761L + $j * 40503L) % 1048576L) / 524288.0 - 1.0;
+           |    final double $d = ((double) $a.getFloat($gd)) - $cv;
+           |    $acc += $d * $d;
+           |  }
+           |  if (!${ev.isNull}) ${ev.value} = $acc;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Column wrappers. */
   def floatDot(a: Column, b: Column): Column =
     shim.column(FloatDot(shim.expression(a), shim.expression(b)))
+
+  def adcDist(q: Column, code: Column, subDim: Int, nDims: Int): Column =
+    shim.column(AdcDist(shim.expression(q), shim.expression(code), subDim, nDims))
 
   def srpSig(emb: Column, nPlanes: Int, table: Int): Column =
     shim.column(SrpSig(shim.expression(emb), nPlanes, table))

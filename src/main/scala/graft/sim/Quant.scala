@@ -109,8 +109,17 @@ object Quant {
     * codebook reconstruction of a coded neighbor. Sequential fold over
     * gd = 0..63 with seed 0.0 and (diff·diff) terms — the exact
     * CentroidDists summation shape, reproduced verbatim in the oracle's
-    * list_reduce. */
+    * list_reduce. Native fused kernel (VectorExprs.AdcDist);
+    * [[adcDistHof]] is the composable form it matches bit-for-bit
+    * (VectorExprSpec) — the interpreted per-dimension lambda made the
+    * HOF form the dominant CPU of q_knn_pq at coarse-probe candidate
+    * volumes. */
   def adcDist(q: Column, code: Column): Column =
+    graft.functions.VectorExprs.adcDist(q, code, PqSubDim, PqM * PqSubDim)
+
+  /** The aggregate(sequence(...)) formulation of [[adcDist]] — kept as
+    * the executable specification of the native kernel. */
+  def adcDistHof(q: Column, code: Column): Column =
     aggregate(sequence(lit(0), lit(PqM * PqSubDim - 1)), lit(0.0),
       (acc, gd) => {
         val j = element_at(code,

@@ -35,6 +35,24 @@ class VectorExprSpec extends AnyFunSuite {
     assert(diff === 0L)
   }
 
+
+  test("adcDist native matches the aggregate(sequence(...)) HOF form bit-for-bit") {
+    import graft.sim.Quant
+    val coded = emb.select(col("id"), col("emb"),
+      Quant.pqCodes(col("emb")).as("pc"))
+    // asymmetric: every vector's full-precision emb vs every 5th row's code
+    val pairs = coded.alias("q").join(
+        coded.filter(col("id") % 5 === 0).alias("c"),
+        col("q.id") =!= col("c.id"))
+      .select(col("q.emb").as("qe"), col("c.pc").as("pc"))
+    val diff = pairs
+      .select(Quant.adcDist(col("qe"), col("pc")).as("nat"),
+        Quant.adcDistHof(col("qe"), col("pc")).as("hof"))
+      .filter(col("nat") =!= col("hof")) // exact bit compare via double equality
+      .count()
+    assert(diff === 0L)
+  }
+
   test("srpSignature native matches the unrolled Column form on every fixture row and table") {
     val dim = emb.select(size(col("emb"))).head().getInt(0)
     val checks = (0 until 4).map { t =>
