@@ -279,6 +279,67 @@ object VectorExprs {
         cents.asInstanceOf[Array[AnyRef]])
   }
 
+  /** Exact integer dot product of two array<byte> SQ8 code columns —
+    * the quantized-cosine scoring kernel. Same motivation and
+    * null/length semantics as [[FloatDot]] (the composable
+    * `aggregate(zip_with(...))` form interprets one lambda step per
+    * element per candidate); exact integers make the fold order
+    * irrelevant, so "bit-identical" here is simply "equal". */
+  case class ByteDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (Seq(left, right).forall(_.dataType match {
+        case ArrayType(ByteType, _) => true
+        case _ => false
+      })) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two array<tinyint> inputs, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "byte_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) return null
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getByte(i).toLong * y.getByte(i).toLong
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |final int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  long $acc = 0L;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $acc += ((long) $a.getByte($i)) * ((long) $b.getByte($i));
+           |  }
+           |  if (!${ev.isNull}) ${ev.value} = $acc;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Asymmetric (ADC) squared-L2 distance between a full-precision
     * query vector and the closed-form-codebook reconstruction of a PQ
     * code array — the IVF-PQ candidate-scoring kernel. The composable
@@ -366,6 +427,9 @@ object VectorExprs {
 
   def adcDist(q: Column, code: Column, subDim: Int, nDims: Int): Column =
     shim.column(AdcDist(shim.expression(q), shim.expression(code), subDim, nDims))
+
+  def byteDot(a: Column, b: Column): Column =
+    shim.column(ByteDot(shim.expression(a), shim.expression(b)))
 
   def srpSig(emb: Column, nPlanes: Int, table: Int): Column =
     shim.column(SrpSig(shim.expression(emb), nPlanes, table))

@@ -42,8 +42,15 @@ object Quant {
   /** Exact integer dot of two int8 code arrays. LONG accumulator —
     * max |dot| = 64·127² ≈ 10^6, overflow-free at any dim that fits a
     * row. Sum order is irrelevant (exact integers), unlike the float
-    * folds, so this aggregates map-side with no ordering caveat. */
+    * folds, so this aggregates map-side with no ordering caveat.
+    * Native fused kernel (VectorExprs.ByteDot); [[intDotHof]] is the
+    * composable form it equals value-for-value (QuantGraphSpec). */
   def intDot(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.byteDot(a, b)
+
+  /** The aggregate(zip_with(...)) formulation of [[intDot]] — kept as
+    * the executable specification of the native kernel. */
+  def intDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, v) => acc + v)
 

@@ -53,6 +53,21 @@ class VectorExprSpec extends AnyFunSuite {
     assert(diff === 0L)
   }
 
+
+  test("byteDot native equals the aggregate(zip_with(...)) HOF form on SQ8 codes") {
+    import graft.sim.Quant
+    val coded = emb.select(col("id"), Quant.sq8Codes(col("emb")).as("z"))
+    val pairs = coded.alias("a").join(
+        coded.filter(col("id") % 5 === 0).alias("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.z").as("z1"), col("b.z").as("z2"))
+    val diff = pairs
+      .select(Quant.intDot(col("z1"), col("z2")).as("nat"),
+        Quant.intDotHof(col("z1"), col("z2")).as("hof"))
+      .filter(col("nat") =!= col("hof"))
+      .count()
+    assert(diff === 0L)
+  }
+
   test("srpSignature native matches the unrolled Column form on every fixture row and table") {
     val dim = emb.select(size(col("emb"))).head().getInt(0)
     val checks = (0 until 4).map { t =>
