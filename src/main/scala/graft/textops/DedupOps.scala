@@ -235,8 +235,13 @@ object DedupOps {
   def positionalShingleCodes(docs: DataFrame, idCol: String,
                              textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"span shingle width must be >= 1: $k")
+    // Per-token char codes via the native kernel (TextHashExprs) — the
+    // composable transform(t => tokenCode(t, m)) interprets one lambda
+    // step per CHARACTER; bit-identity is TextHashSpec's contract. The
+    // O(k) rolling fold per window stays composable (k is span-grain).
     val windows = TextOps.let(
-      transform(TextOps.tokens(col(textCol)), t => tokenCode(t, CHAR_M)),
+      graft.functions.TextHashExprs.tokenCodesCol(
+        TextOps.tokens(col(textCol)), CHAR_M),
       codes => when(size(codes) >= k,
         transform(sequence(lit(0), size(codes) - k), i =>
           (0 until k).foldLeft(lit(0L))((h, j) =>
