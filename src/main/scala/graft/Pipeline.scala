@@ -54,6 +54,20 @@ object Pipeline {
   val Stages: Seq[String] = Seq("canonical_ids", "extracted", "mentions",
     "pagesets", "triples", "nodes", "edges")
 
+  /** Plan-audit hook: when SPARK_GRAFT_PLAN_DIR is set, write the
+    * formatted physical plan of a stage frame there before it executes
+    * (debug-only; the bench never sets it). */
+  private def dbgPlan(name: String, df: DataFrame): DataFrame = {
+    sys.env.get("SPARK_GRAFT_PLAN_DIR").foreach { d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$d/$name.txt"),
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+    }
+    df
+  }
+
   def run(spark: SparkSession, sfDir: String, storeBase: String,
           partitions: Int, mult: Int = 1, retainSnapshots: Int = 2): Result = {
     // Construction-time schema gate (reference pydantic/enum checks):
@@ -420,7 +434,7 @@ object Pipeline {
     val edges = GraphStore.getOrCompute(spark, storeBase, "edges",
         partitionByCols = Seq("bucket"), inputFp = fpEdges, lineageAsync = true) {
       val ids = nodes.select(col("id"))
-      Await.result(edgesPlanF, Duration.Inf)
+      dbgPlan("edges", Await.result(edgesPlanF, Duration.Inf)
         .join(ids.withColumnRenamed("id", "subject_id"), Seq("subject_id"), "left_semi")
         .join(ids.withColumnRenamed("id", "object_id"), Seq("object_id"), "left_semi")
         .withColumn("bucket", pmod(xxhash64(col("subject_id")), lit(32)))
@@ -431,7 +445,7 @@ object Pipeline {
         // final count). After: one task per occupied bucket, 32
         // right-sized files. Costs one shuffle of the final edge set
         // (~40 MB zstd-equivalent), which the file-open savings repay.
-        .repartition(32, col("bucket"))
+        .repartition(32, col("bucket")))
     }
     mark("edges")
     lineFacts.unpersist(false)

@@ -154,21 +154,22 @@ object ConnectedComponents {
     val rawEdges = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     if (rawEdges.count() <= localThreshold) {
-      // (member, component) for every edge endpoint, single task.
-      val mapped = cp(localUnionFind(rawEdges))
-      return vertices match {
-        case None => mapped
+      // The vertex universe rides into the SAME single union-find task
+      // as self-loop rows (a (v,v) row registers v as a singleton and
+      // unions nothing — the UF is duplicate- and self-loop-tolerant),
+      // so universe-only vertices come out as singleton components with
+      // ZERO extra jobs. The previous shape (UF + checkpoint + universe
+      // distinct + broadcast anti-join + second checkpoint) paid two
+      // more job round-trips and a shuffle per call — pure fixed
+      // latency on a path every canonicalization query sits on.
+      val withUniverse = vertices match {
+        case None => rawEdges
         case Some(vs) =>
-          // Universe-only vertices are singleton components; mapped
-          // already holds every edge endpoint, so the attach is a
-          // broadcast anti-join — the universe side never shuffles
-          // beyond its own dedup.
-          val extra = vs.select(col("v")).distinct()
-            .join(broadcast(mapped.select(col("member"))),
-              col("v") === col("member"), "left_anti")
-            .select(col("v").as("member"), col("v").as("component"))
-          cp(mapped.unionByName(extra))
+          rawEdges.unionByName(vs.select(col("v").as("src"), col("v").as("dst")))
       }
+      // (member, component) for every edge endpoint + universe vertex,
+      // single task.
+      return cp(localUnionFind(withUniverse))
     }
 
     val e0 = cp(rawEdges.distinct())

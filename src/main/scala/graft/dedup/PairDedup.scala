@@ -54,7 +54,8 @@ object PairDedup {
     * modeling as ngramJaccardPairs. Pairs then explode MAP-SIDE from
     * each posting — no self-join. */
   def coOccurrencePairs(df: DataFrame, itemCol: String, keyCol: String,
-                        maxDf: Long, preDistinct: Boolean = false): DataFrame = {
+                        maxDf: Long, preDistinct: Boolean = false,
+                        minCommon: Long = 1L): DataFrame = {
     require(maxDf > 0 && maxDf <= Int.MaxValue - 1, s"maxDf out of range: $maxDf")
     val capAgg = graft.functions.BoundedAggs.cappedLongList(maxDf.toInt)
     val proj = df.select(col(itemCol).as("item"), col(keyCol).cast("long").as("k"))
@@ -66,7 +67,13 @@ object PairDedup {
       .groupBy("item").agg(capAgg(col("k")).as("pl"))
       .filter(col("pl.total") >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nHot = post.filter(col("pl.total") > maxDf).count()
+    // ONE pass over the postings yields both guards: the hot-item count
+    // and the key range (which decides the packed-key grouping below).
+    val g = post.agg(
+      sum(when(col("pl.total") > maxDf, 1L).otherwise(0L)).as("nHot"),
+      max(array_max(col("pl.items"))).as("maxK"),
+      min(array_min(col("pl.items"))).as("minK")).head()
+    val nHot = if (g.isNullAt(0)) 0L else g.getLong(0)
     if (nHot > 0)
       println(s"[coOccurrencePairs] excluded $nHot hot items with df > $maxDf")
     // Streaming pair generation (PairExprs.UnorderedPairs): the same
@@ -75,11 +82,35 @@ object PairDedup {
     // copies) per posting — that materialization, not the aggregation,
     // dominated the dense-posting families' CPU (shares_part: postings
     // of ~10^3 suppliers per canonical part).
-    val pairs = post.filter(col("pl.total") <= maxDf)
+    val raw = post.filter(col("pl.total") <= maxDf)
       .select(graft.functions.PairExprs.unorderedPairs(col("pl.items"))
         .as(Seq("k1", "k2")))
-      .groupBy(col("k1"), col("k2"))
-      .agg(count(lit(1)).as("n_common"))
+    // The pair-count shuffle carries NEARLY-UNIQUE keys (partial
+    // aggregation cannot collapse them), so its bytes are the dominant
+    // shuffle of every co-occurrence family. When both keys fit 31
+    // bits (checked against the actual data above — never assumed),
+    // group on ONE packed long instead of two: a third less key bytes
+    // and one-word hashing. Bit-identical output either way.
+    val packable = !g.isNullAt(1) && !g.isNullAt(2) &&
+      g.getLong(2) >= 0L && g.getLong(1) < (1L << 31)
+    val counted =
+      if (packable)
+        raw.select((shiftleft(col("k1"), 32) + col("k2")).as("pk"))
+          .groupBy(col("pk"))
+          .agg(count(lit(1)).as("n_common"))
+          .select(shiftright(col("pk"), 32).as("k1"),
+            (col("pk").bitwiseAND(lit(0x7fffffffL))).as("k2"),
+            col("n_common"))
+      else
+        raw.groupBy(col("k1"), col("k2"))
+          .agg(count(lit(1)).as("n_common"))
+    // minCommon is applied BEFORE the materialization: a caller that
+    // only wants pairs sharing >= 2 items (co_purchased / bundle_with)
+    // otherwise pays a localCheckpoint copy of the full nearly-unique
+    // pair-count table (8M rows at sf0.1) just to filter it to a few
+    // thousand rows afterwards.
+    val pairs = (if (minCommon > 1L) counted.filter(col("n_common") >= minCommon)
+                 else counted)
       .localCheckpoint(true)
     post.unpersist(false)
     pairs

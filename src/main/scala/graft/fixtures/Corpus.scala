@@ -742,8 +742,8 @@ object Corpus {
   /** [[coPurchasedEdges]] over a shared [[lineFacts]] frame. */
   def coPurchasedFrom(lf: DataFrame): DataFrame = {
     val op = lf.select(col("pk"), col("ok"))
-    graft.dedup.PairDedup.coOccurrencePairs(op, "pk", "ok", CoOccurrenceMaxDf)
-      .filter(col("n_common") >= 2)
+    graft.dedup.PairDedup.coOccurrencePairs(op, "pk", "ok", CoOccurrenceMaxDf,
+        minCommon = 2L)
       .select(
         concat(lit("ORDER:"), col("k1")).as("subject_id"),
         lit("co_purchased_with").as("relation_label"),
@@ -1062,8 +1062,8 @@ object Corpus {
     val nOrdersDf = op.agg(countDistinct(col("ok")).as("nn"))
     val dfs = op.groupBy(col("pid")).agg(count(lit(1)).as("df"))
     val pairs = graft.dedup.PairDedup
-      .coOccurrencePairs(op, "ok", "pid", CoOccurrenceMaxDf, preDistinct = true)
-      .filter(col("n_common") >= 2)
+      .coOccurrencePairs(op, "ok", "pid", CoOccurrenceMaxDf, preDistinct = true,
+        minCommon = 2L)
     val out = pairs
       .join(broadcast(dfs.select(col("pid").as("k1"), col("df").as("df1"))), Seq("k1"))
       .join(broadcast(dfs.select(col("pid").as("k2"), col("df").as("df2"))), Seq("k2"))

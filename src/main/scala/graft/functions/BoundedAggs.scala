@@ -29,9 +29,20 @@ import org.apache.spark.sql.expressions.UserDefinedFunction
   */
 object BoundedAggs {
 
-  /** Buffer/output: K smallest distinct strings (ascending) + exact
-    * non-null input row count. */
+  /** Output: K smallest distinct strings (ascending) + exact non-null
+    * input row count. */
   final case class TopKState(items: Array[String], total: Long)
+
+  /** ACCUMULATION buffer for the top-K aggregators: same sorted-distinct
+    * prefix as [[TopKState]], but with a logical length `n` decoupled
+    * from the array's capacity so inserts grow the array amortized
+    * (capacity doubling) and shift IN PLACE instead of allocating a new
+    * array per accepted element — the old per-insert `new Array` +
+    * double arraycopy made a d-witness group cost O(d²) element copies
+    * plus d short-lived arrays of GC pressure (the dominant cost of the
+    * evidence aggregation at 4M witness rows). Only `finish` exposes
+    * state to callers, trimmed to `n`, so capacity never escapes. */
+  final case class TopKBuf(items: Array[String], n: Int, total: Long)
 
   /** Compare two strings in UTF-8 binary (= code point) order — the
     * collation Spark's UTF8String and DuckDB's list_sort use. Java's
@@ -78,48 +89,60 @@ object BoundedAggs {
   }
 
   final class TopKStringsAgg(k: Int)
-      extends Aggregator[String, TopKState, TopKState] {
+      extends Aggregator[String, TopKBuf, TopKState] {
     require(k > 0, "cap must be positive")
 
-    override def zero: TopKState = TopKState(Array.empty, 0L)
+    override def zero: TopKBuf = TopKBuf(Array.empty, 0, 0L)
 
-    override def reduce(b: TopKState, s: String): TopKState = {
+    override def reduce(b: TopKBuf, s: String): TopKBuf = {
       if (s == null) return b
-      val items = b.items
-      val n = items.length
+      val n = b.n
       val total = b.total + 1
       // Fast path once the buffer is full: anything >= the current max
       // is either a duplicate of the max or can never be kept.
-      if (n >= k && utf8Compare(items(n - 1), s) <= 0) return TopKState(items, total)
-      val r = searchSorted(items, n, s)
-      if ((r & 1) == 1) return TopKState(items, total) // duplicate among kept
+      if (n >= k && utf8Compare(b.items(n - 1), s) <= 0)
+        return TopKBuf(b.items, n, total)
+      val r = searchSorted(b.items, n, s)
+      if ((r & 1) == 1) return TopKBuf(b.items, n, total) // duplicate among kept
       val idx = r >> 1
-      val outLen = math.min(n + 1, k)
-      val out = new Array[String](outLen)
-      System.arraycopy(items, 0, out, 0, idx)
-      out(idx) = s
-      System.arraycopy(items, idx, out, idx + 1, outLen - idx - 1)
-      TopKState(out, total)
+      if (n < k) {
+        // room to grow: amortized capacity doubling, in-place tail shift
+        val items =
+          if (n < b.items.length) b.items
+          else java.util.Arrays.copyOf(
+            b.items, math.min(math.max(8, b.items.length * 2), k))
+        System.arraycopy(items, idx, items, idx + 1, n - idx)
+        items(idx) = s
+        TopKBuf(items, n + 1, total)
+      } else {
+        // full: insert, dropping the current max (last slot) in place
+        System.arraycopy(b.items, idx, b.items, idx + 1, k - 1 - idx)
+        b.items(idx) = s
+        TopKBuf(b.items, k, total)
+      }
     }
 
-    override def merge(a: TopKState, c: TopKState): TopKState = {
+    override def merge(a: TopKBuf, c: TopKBuf): TopKBuf = {
       val x = a.items; val y = c.items
-      val out = new Array[String](math.min(x.length + y.length, k))
+      val out = new Array[String](math.min(a.n + c.n, k))
       var i = 0; var j = 0; var o = 0
-      while (o < out.length && (i < x.length || j < y.length)) {
+      while (o < out.length && (i < a.n || j < c.n)) {
         val cmp =
-          if (i >= x.length) 1
-          else if (j >= y.length) -1
+          if (i >= a.n) 1
+          else if (j >= c.n) -1
           else utf8Compare(x(i), y(j))
         if (cmp < 0) { out(o) = x(i); i += 1; o += 1 }
         else if (cmp > 0) { out(o) = y(j); j += 1; o += 1 }
         else { out(o) = x(i); i += 1; j += 1; o += 1 }
       }
-      TopKState(if (o == out.length) out else out.take(o), a.total + c.total)
+      TopKBuf(out, o, a.total + c.total)
     }
 
-    override def finish(r: TopKState): TopKState = r
-    override def bufferEncoder: Encoder[TopKState] = Encoders.product[TopKState]
+    override def finish(r: TopKBuf): TopKState =
+      TopKState(
+        if (r.n == r.items.length) r.items else java.util.Arrays.copyOf(r.items, r.n),
+        r.total)
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
     override def outputEncoder: Encoder[TopKState] = Encoders.product[TopKState]
   }
 
@@ -133,10 +156,10 @@ object BoundedAggs {
     * an all-null group yields null (the reference's NaN), matching the
     * unbounded rule. */
   final class PipeSetUnionCappedAgg(k: Int)
-      extends Aggregator[String, TopKState, String] {
+      extends Aggregator[String, TopKBuf, String] {
     private val inner = new TopKStringsAgg(k)
-    override def zero: TopKState = inner.zero
-    override def reduce(b: TopKState, s: String): TopKState = {
+    override def zero: TopKBuf = inner.zero
+    override def reduce(b: TopKBuf, s: String): TopKBuf = {
       if (s == null || s.isEmpty) return b
       var acc = b
       var start = 0
@@ -150,10 +173,19 @@ object BoundedAggs {
       }
       acc
     }
-    override def merge(a: TopKState, c: TopKState): TopKState = inner.merge(a, c)
-    override def finish(r: TopKState): String =
-      if (r.items.isEmpty) null else r.items.mkString("|")
-    override def bufferEncoder: Encoder[TopKState] = Encoders.product[TopKState]
+    override def merge(a: TopKBuf, c: TopKBuf): TopKBuf = inner.merge(a, c)
+    override def finish(r: TopKBuf): String =
+      if (r.n == 0) null else {
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < r.n) {
+          if (i > 0) sb.append('|')
+          sb.append(r.items(i))
+          i += 1
+        }
+        sb.toString
+      }
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
     override def outputEncoder: Encoder[String] = Encoders.STRING
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
 import org.apache.spark.sql.functions._
 
-import BoundedAggs.{TopKState, TopKStringsAgg}
+import BoundedAggs.{TopKBuf, TopKState, TopKStringsAgg}
 
 /** Salting for hub keys (north-star: "salted keys for hub entities").
   *
@@ -29,14 +29,15 @@ object Salted {
   /** Phase-2 aggregator: merges TopKState partials (from the salted
     * phase-1 groupBy) into the final TopKState. */
   final class TopKMergeAgg(k: Int)
-      extends Aggregator[TopKState, TopKState, TopKState] {
+      extends Aggregator[TopKState, TopKBuf, TopKState] {
     private val inner = new TopKStringsAgg(k)
-    override def zero: TopKState = inner.zero
-    override def reduce(b: TopKState, s: TopKState): TopKState =
-      if (s == null) b else inner.merge(b, s)
-    override def merge(a: TopKState, c: TopKState): TopKState = inner.merge(a, c)
-    override def finish(r: TopKState): TopKState = r
-    override def bufferEncoder: Encoder[TopKState] = Encoders.product[TopKState]
+    override def zero: TopKBuf = inner.zero
+    override def reduce(b: TopKBuf, s: TopKState): TopKBuf =
+      if (s == null) b
+      else inner.merge(b, TopKBuf(s.items, s.items.length, s.total))
+    override def merge(a: TopKBuf, c: TopKBuf): TopKBuf = inner.merge(a, c)
+    override def finish(r: TopKBuf): TopKState = inner.finish(r)
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
     override def outputEncoder: Encoder[TopKState] = Encoders.product[TopKState]
   }
 

@@ -55,16 +55,23 @@ object Triples {
   }
 
   /** Map-side relation cross-product: (subject, rel, object) hash rows
-    * from one page's entity sets. */
+    * from one page's entity sets. Two codegen'd explodes instead of the
+    * nested transform/flatten/explode HOF chain: higher-order-function
+    * lambdas are interpreted row-at-a-time and the nested form also
+    * materialized the |cs|·(|ps|+|ns|) struct array (plus its flatten
+    * copy) per page before exploding it; `posexplode(concat(ps, ns))`
+    * with a split-index label keeps the whole 4M-row generation inside
+    * WholeStageCodegen with zero per-row array materialization beyond
+    * the concat. Pair SET is identical (downstream aggregations are
+    * order-insensitive: distinct / associative bounded top-K). */
   private def relationPairs(df: DataFrame): DataFrame =
-    df.select(col("url"),
-        explode(flatten(transform(col("cs"), c =>
-          concat(
-            transform(col("ps"), p =>
-              struct(c.as("se"), lit("ordered").as("relation_label"), p.as("oe"))),
-            transform(col("ns"), n =>
-              struct(c.as("se"), lit("located_in").as("relation_label"), n.as("oe"))))))).as("t"))
-      .select(col("url"), col("t.se"), col("t.relation_label"), col("t.oe"))
+    df.select(col("url"), explode(col("cs")).as("se"), col("ps"), col("ns"))
+      .select(col("url"), col("se"), size(col("ps")).as("np"),
+        posexplode(concat(col("ps"), col("ns"))).as(Seq("i", "oe")))
+      .select(col("url"), col("se"),
+        when(col("i") < col("np"), lit("ordered"))
+          .otherwise(lit("located_in")).as("relation_label"),
+        col("oe"))
 
   /** Broadcast canonical-hash -> canonical-id dimension. */
   private def canonDim(canon: DataFrame): DataFrame =

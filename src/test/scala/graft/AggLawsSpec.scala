@@ -5,7 +5,7 @@ import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.BoundedAggs
-import graft.functions.BoundedAggs.{TopKState, TopKStringsAgg}
+import graft.functions.BoundedAggs.{TopKBuf, TopKState, TopKStringsAgg}
 
 /** Algebraic laws of the bounded top-K+count aggregation state — the
   * foundation BOTH the distributed aggregation (Spark merges partial
@@ -25,8 +25,11 @@ class AggLawsSpec extends AnyFunSuite {
   private val k = 8
   private val agg = new TopKStringsAgg(k)
 
-  private def reduceAll(xs: Seq[String]): TopKState =
+  private def reduceAll(xs: Seq[String]): TopKBuf =
     xs.foldLeft(agg.zero)(agg.reduce)
+
+  /** The observable value of a buffer state (capacity trimmed). */
+  private def fin(s: TopKBuf): TopKState = agg.finish(s)
 
   /** UTF-8 binary order via Spark's own UTF8String — the collation the
     * engine's shuffles/sorts and the DuckDB oracles use. */
@@ -41,8 +44,9 @@ class AggLawsSpec extends AnyFunSuite {
     (nonNull.distinct.sorted(utf8Order).take(k), nonNull.size.toLong)
   }
 
-  private def assertMatchesSpec(s: TopKState, xs: Seq[String]): Unit = {
+  private def assertMatchesSpec(b: TopKBuf, xs: Seq[String]): Unit = {
     val (items, total) = spec(xs)
+    val s = fin(b)
     assert(s.items.toSeq == items)
     assert(s.total == total)
   }
@@ -86,8 +90,10 @@ class AggLawsSpec extends AnyFunSuite {
       val left = agg.merge(agg.merge(sa, sb), sc)
       val right = agg.merge(sa, agg.merge(sb, sc))
       val comm = agg.merge(agg.merge(sc, sb), sa)
-      assert(left.items.toSeq == right.items.toSeq && left.total == right.total)
-      assert(left.items.toSeq == comm.items.toSeq && left.total == comm.total)
+      assert(fin(left).items.toSeq == fin(right).items.toSeq &&
+        left.total == right.total)
+      assert(fin(left).items.toSeq == fin(comm).items.toSeq &&
+        left.total == comm.total)
       assertMatchesSpec(left, a ++ b ++ c)
     }
   }
@@ -97,8 +103,8 @@ class AggLawsSpec extends AnyFunSuite {
       val s = reduceAll(xs)
       val l = agg.merge(agg.zero, s)
       val r = agg.merge(s, agg.zero)
-      assert(l.items.toSeq == s.items.toSeq && l.total == s.total)
-      assert(r.items.toSeq == s.items.toSeq && r.total == s.total)
+      assert(fin(l).items.toSeq == fin(s).items.toSeq && l.total == s.total)
+      assert(fin(r).items.toSeq == fin(s).items.toSeq && r.total == s.total)
     }
   }
 
