@@ -26,6 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // The engine's plans compile to well over 100 distinct whole-stage
+  // codegen classes (40 edge families × their stages); the default
+  // codegen class cache holds 100 entries, so repeated runs in one JVM
+  // recompile evicted classes every time — jstack-sampled at ~11% of
+  // executor-thread time (janino in CodeGenerator.compile). Static SQL
+  // conf, hence set as a system property. Scale-independent: it bounds
+  // a JVM-local cache, not data-dependent behavior.
+  "-Dspark.sql.codegen.cache.maxEntries=2000",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // default G1: an A/B against ParallelGC showed G1 ~25% faster on the
   // string-heavy pipeline at 8 threads; SPARK_GRAFT_GC overrides for

@@ -168,8 +168,16 @@ object ConnectedComponents {
           rawEdges.unionByName(vs.select(col("v").as("src"), col("v").as("dst")))
       }
       // (member, component) for every edge endpoint + universe vertex,
-      // single task.
-      return cp(localUnionFind(withUniverse))
+      // single task. LAZY checkpoint: consumers share the materialized
+      // block exactly as with the eager form, but the single UF task
+      // runs as part of the FIRST consumer's job instead of as its own
+      // serial driver round-trip before the query proper starts —
+      // canonicalization sits on the critical path of every flagship
+      // query, and the extra round-trip was pure fixed latency. (The
+      // distributed path below keeps eager cp: an iterative loop must
+      // truncate lineage and stats every round.)
+      val c = localUnionFind(withUniverse).localCheckpoint(false)
+      return c.sparkSession.createDataFrame(c.rdd, c.schema)
     }
 
     val e0 = cp(rawEdges.distinct())

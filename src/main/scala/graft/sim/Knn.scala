@@ -123,14 +123,35 @@ object Knn {
 
   /** Deterministic per-bucket cap over a [[rankedBucketAssignments]]
     * frame, drops logged — the shared guard that keeps a pathological
-    * hub bucket from going quadratic in EITHER LSH path. */
+    * hub bucket from going quadratic in EITHER LSH path. The same pass
+    * also reports the corpus id range: when ids fit 31 bits the
+    * candidate-pair dedup below groups on ONE packed long instead of
+    * two (the distinct over millions of nearly-unique pairs is the
+    * CPU-dominant aggregation of both LSH paths — profiled as
+    * hashAgg_doAggregateWithKeys). */
   private def cappedCorpusSide(ranked: DataFrame, maxBucket: Int,
-                               tag: String): DataFrame = {
-    val nDropped = ranked.filter(col("rn") > maxBucket).count()
+                               tag: String): (DataFrame, Boolean) = {
+    val g = ranked.agg(
+      sum(when(col("rn") > maxBucket, 1L).otherwise(0L)).as("nDropped"),
+      max(col("id")).as("maxId"), min(col("id")).as("minId")).head()
+    val nDropped = if (g.isNullAt(0)) 0L else g.getLong(0)
     if (nDropped > 0)
       println(s"[$tag] dropped $nDropped bucket members over cap=$maxBucket")
-    ranked.filter(col("rn") <= maxBucket)
+    val packable = !g.isNullAt(1) && !g.isNullAt(2) &&
+      g.getLong(2) >= 0L && g.getLong(1) < (1L << 31)
+    (ranked.filter(col("rn") <= maxBucket), packable)
   }
+
+  /** Distinct over (a, b) id pairs, via one packed 62-bit key when the
+    * id range allows (bit-identical result either way). */
+  private def distinctPairs(df: DataFrame, a: String, b: String,
+                            packable: Boolean): DataFrame =
+    if (packable)
+      df.select((shiftleft(col(a), 32) + col(b)).as("pk"))
+        .distinct()
+        .select(shiftright(col("pk"), 32).as(a),
+          col("pk").bitwiseAND(lit(0x7fffffffL)).as(b))
+    else df.select(a, b).distinct()
 
   /** LSH-bucketed approximate top-k over `corpus` (id, emb).
     *
@@ -146,7 +167,8 @@ object Knn {
               nPlanes: Int = 6, nTables: Int = 8,
               maxBucket: Int = 4096, probe: Boolean = true): DataFrame = {
     val ranked = rankedBucketAssignments(corpus, nPlanes, nTables)
-    val corpusSide = cappedCorpusSide(ranked, maxBucket, "lshTopK")
+    val (capped, packable) = cappedCorpusSide(ranked, maxBucket, "lshTopK")
+    val corpusSide = capped
       .select(col("tbl"), col("sig"), col("id").as("neighbor_id"))
 
     // Query side: the exact signature plus its nPlanes hamming-1 probes.
@@ -160,11 +182,11 @@ object Knn {
     // Materialize the deduped candidate pairs, then release the cached
     // assignment table — repeated calls in one session (bench reps)
     // must not accumulate cached partitions.
-    val cand = querySide
-      .join(corpusSide, Seq("tbl", "sig"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .select("vec_id", "neighbor_id")
-      .distinct()
+    val cand = distinctPairs(
+      querySide
+        .join(corpusSide, Seq("tbl", "sig"))
+        .filter(col("vec_id") =!= col("neighbor_id")),
+      "vec_id", "neighbor_id", packable)
       .localCheckpoint(true)
     ranked.unpersist(false)
 
@@ -208,13 +230,14 @@ object Knn {
                       nPlanes: Int = 6, nTables: Int = 8,
                       maxBucket: Int = 4096): DataFrame = {
     val ranked = rankedBucketAssignments(corpus, nPlanes, nTables)
-    val capped = cappedCorpusSide(ranked, maxBucket, "lshNearDupPairs")
-    val cand = capped.select(col("tbl"), col("sig"), col("id").as("id1"))
-      .join(capped.select(col("tbl"), col("sig"), col("id").as("id2")),
-        Seq("tbl", "sig"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
-      .distinct() // a pair colliding in several tables verifies once
+    val (capped, packable) = cappedCorpusSide(ranked, maxBucket, "lshNearDupPairs")
+    // a pair colliding in several tables verifies once (packed distinct)
+    val cand = distinctPairs(
+      capped.select(col("tbl"), col("sig"), col("id").as("id1"))
+        .join(capped.select(col("tbl"), col("sig"), col("id").as("id2")),
+          Seq("tbl", "sig"))
+        .filter(col("id1") < col("id2")),
+      "id1", "id2", packable)
       .localCheckpoint(true)
     ranked.unpersist(false)
     val nrm = corpus.select(col("id"), col("emb"), norm(col("emb")).as("n"))

@@ -66,23 +66,44 @@ object DedupOps {
       .agg(capAgg(col("doc_id")).as("pl"))
       .filter(col("pl.total") >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Hot set is tiny by construction (only shingles with df > maxDf);
-    // materialized so it survives the unpersist below.
-    val hot = allPostings.filter(col("pl.total") > maxDf)
-      .select(col("sh")).localCheckpoint(true)
-    val nHot = hot.count()
+    // ONE pass over the postings yields the hot-shingle count AND the
+    // doc-id range (the packed-key gate below); the hot SET itself is
+    // only materialized when it is non-empty — the common no-hot case
+    // previously paid a localCheckpoint + count of an empty frame.
+    val g = allPostings.agg(
+      sum(when(col("pl.total") > maxDf, 1L).otherwise(0L)).as("nHot"),
+      max(array_max(col("pl.items"))).as("maxK"),
+      min(array_min(col("pl.items"))).as("minK")).head()
+    val nHot = if (g.isNullAt(0)) 0L else g.getLong(0)
     if (nHot > 0)
       println(s"[ngramJaccardPairs] excluded $nHot hot shingles with df > $maxDf from the shingle universe")
+    val hot =
+      if (nHot == 0) null
+      else allPostings.filter(col("pl.total") > maxDf)
+        .select(col("sh")).localCheckpoint(true)
     // Complete (never-truncated) sorted postings: total <= maxDf = cap.
     // Pairs stream from each posting via the O(1)-memory generator
     // (PairExprs.UnorderedPairs) — same (id1, id2) stream as the old
     // transform/slice/flatten/explode form, none of its per-posting
-    // pair-array materialization.
-    val pairs = allPostings.filter(col("pl.total") <= maxDf)
+    // pair-array materialization. The pair-count groups on one packed
+    // 62-bit key when doc ids fit 31 bits (checked above) — the count
+    // over nearly-unique pairs is this operator's dominant aggregation.
+    val rawPairs = allPostings.filter(col("pl.total") <= maxDf)
       .select(graft.functions.PairExprs.unorderedPairs(col("pl.items"))
         .as(Seq("id1", "id2")))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("common"))
+    val packable = !g.isNullAt(1) && !g.isNullAt(2) &&
+      g.getLong(2) >= 0L && g.getLong(1) < (1L << 31)
+    val pairs =
+      if (packable)
+        rawPairs.select((shiftleft(col("id1"), 32) + col("id2")).as("pk"))
+          .groupBy(col("pk"))
+          .agg(count(lit(1)).as("common"))
+          .select(shiftright(col("pk"), 32).as("id1"),
+            col("pk").bitwiseAND(lit(0x7fffffffL)).as("id2"),
+            col("common"))
+      else
+        rawPairs.groupBy(col("id1"), col("id2"))
+          .agg(count(lit(1)).as("common"))
     // Retained-universe sizes: identical to the raw set sizes unless hot
     // shingles exist, in which case each doc's size counts only shingles
     // with df <= maxDf (broadcast anti-join against the tiny hot set).
