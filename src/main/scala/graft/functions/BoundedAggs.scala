@@ -73,6 +73,10 @@ object BoundedAggs {
     Integer.compare(la, lb)
   }
 
+  /** [[utf8Compare]] as an Ordering — for driver-side dimension work
+    * that must match Spark's string-min collation exactly. */
+  val utf8Ordering: Ordering[String] = (a: String, b: String) => utf8Compare(a, b)
+
   /** Binary search insertion point in a sorted array; returns
     * (index << 1) | (1 if exact match else 0). */
   private def searchSorted(a: Array[String], n: Int, s: String): Int = {

@@ -91,6 +91,21 @@ object Linker {
     val entries = dict.select("alias", "entity_id", "entity_label")
       .distinct()
       .as[(String, String, String)].collect()
+    trieMatch(pagesText, entries)
+  }
+
+  /** The shared trie-match core over already-collected dictionary
+    * entries. Entries are sorted before broadcast so the broadcast
+    * payload (and the trie's per-alias candidate order) is independent
+    * of the collect's partition order. */
+  private def trieMatch(pagesText: DataFrame,
+                        entriesRaw: Array[(String, String, String)]): DataFrame = {
+    val spark = pagesText.sparkSession
+    import spark.implicits._
+    val entries = entriesRaw.sorted(Ordering.Tuple3(
+      graft.functions.BoundedAggs.utf8Ordering,
+      graft.functions.BoundedAggs.utf8Ordering,
+      graft.functions.BoundedAggs.utf8Ordering))
     val bc = spark.sparkContext.broadcast(entries)
     pagesText.select(col("url"), col("text")).as[(String, String)]
       .mapPartitions { rows =>
@@ -101,9 +116,49 @@ object Linker {
   }
 
   /** Detect dictionary mentions in `text` with priority-resolved,
-    * ambiguity-dropped aliases (the default stage-2 path). */
-  def mentions(pagesText: DataFrame, dict: DataFrame): DataFrame =
-    mentionsTrie(pagesText, resolveDict(dict))
+    * ambiguity-dropped aliases (the default stage-2 path).
+    *
+    * The dictionary is a DIMENSION (it is collected and broadcast for
+    * the trie either way), so the rank-1 resolution runs driver-side
+    * over the collected rows instead of as a 3-exchange Spark plan
+    * whose only consumer is a collect — that plan was ~4 serial tiny
+    * stages of fixed latency on the critical path of every flagship
+    * query. Semantics mirror [[resolveDict]] exactly (min priority,
+    * ambiguity drop, UTF-8-binary min — Spark's own string `min`
+    * collation — for the surviving id/label); equivalence is
+    * spec-asserted against the relational form. */
+  def mentions(pagesText: DataFrame, dict: DataFrame): DataFrame = {
+    val spark = pagesText.sparkSession
+    import spark.implicits._
+    val raw = dict
+      .select(col("alias"), col("entity_id"), col("entity_label"),
+        col("priority").cast("int"))
+      .as[(String, String, String, Int)].collect()
+    trieMatch(pagesText, resolveDictLocal(raw))
+  }
+
+  /** Driver-side mirror of [[resolveDict]] over collected dictionary
+    * rows: minimum priority wins; an alias with more than one distinct
+    * entity at its minimum priority is dropped; the surviving id and
+    * label are the UTF-8-binary minima over the min-priority rows. */
+  private[graft] def resolveDictLocal(
+      rows: Array[(String, String, String, Int)]): Array[(String, String, String)] = {
+    val ord = graft.functions.BoundedAggs.utf8Ordering
+    val byAlias = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[(String, String, Int)]]()
+    rows.foreach { case (a, id, lbl, p) =>
+      byAlias.computeIfAbsent(a, _ => scala.collection.mutable.ArrayBuffer.empty)
+        .append((id, lbl, p))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    byAlias.forEach { (alias, es) =>
+      val minp = es.iterator.map(_._3).min
+      val atMin = es.filter(_._3 == minp)
+      val ids = atMin.map(_._1).distinct
+      if (ids.size == 1)
+        out += ((alias, ids.min(ord), atMin.map(_._2).min(ord)))
+    }
+    out.toArray
+  }
 
   /** Declarative uni+bigram matcher: candidate n-grams via codegen'd
     * array expressions, linking via broadcast hash join. Limited to

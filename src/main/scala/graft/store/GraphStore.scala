@@ -149,7 +149,16 @@ object GraphStore {
     // (which does NOT scale with cores on one box) into CPU work (which
     // does) — measured as the difference between flat and scaling
     // extract/mentions stages at high thread counts.
+    // Dictionary encoding OFF for snapshot data: the heavy columns
+    // (urls, evidence lists, property maps) are high-cardinality
+    // strings where parquet's dictionary attempt always falls back
+    // after burning CPU per page (jstack-sampled as the dominant
+    // write-path cost), and zstd already captures the redundancy
+    // dictionary encoding would. SPARK_GRAFT_PARQUET_DICT=1 restores
+    // the default for layouts where dictionaries do win.
     val writer = df.write.mode("overwrite").option("compression", "zstd")
+      .option("parquet.enable.dictionary",
+        sys.env.get("SPARK_GRAFT_PARQUET_DICT").contains("1").toString)
     (if (partitionByCols.nonEmpty) writer.partitionBy(partitionByCols: _*) else writer)
       .parquet(dataPath)
 

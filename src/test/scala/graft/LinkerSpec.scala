@@ -24,6 +24,21 @@ class LinkerSpec extends AnyFunSuite {
     assert(r.map(_.getString(0)).toSet == Set("ok"))
   }
 
+  test("driver-side rank-1 resolution equals the relational resolveDict on the full corpus dict") {
+    val d = graft.fixtures.Corpus.aliasDict(spark, "/root/testdata/sf0.001")
+      .unionByName(dict( // edge shapes: ambiguity, priority fallback, label tie
+        ("amb", "P:1", "product", 1), ("amb", "P:2", "product", 1),
+        ("fb", "P:9", "zz", 9), ("fb", "P:3", "aa", 3),
+        ("lbl", "P:7", "b", 1), ("lbl", "P:7", "a", 1)).toDF())
+    val relational = Linker.resolveDict(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted
+    val raw = d.select($"alias", $"entity_id", $"entity_label",
+        $"priority".cast("int"))
+      .as[(String, String, String, Int)].collect()
+    val local = Linker.resolveDictLocal(raw).sorted
+    assert(local.toSeq == relational.toSeq)
+  }
+
   test("mentions finds unigrams and bigrams with positions, no false cross matches") {
     val pages = Seq(
       ("u1", "Items: cold widget, small bolt and Customer#01 too.")
