@@ -34,6 +34,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // conf, hence set as a system property. Scale-independent: it bounds
   // a JVM-local cache, not data-dependent behavior.
   "-Dspark.sql.codegen.cache.maxEntries=2000",
+  // FAIR task scheduling across CONCURRENT jobs (guide §2.6 job
+  // overlap): the pipeline runs small canon/edge-family jobs alongside
+  // the wide extract/mentions stages, and under the default FIFO order
+  // their tasks queue behind the wide stage's backlog — measured as the
+  // canonical-ids commit finishing at ~8.5 s despite ~2 s of own work.
+  // One shared fair pool, no weights; serial phases (Verify, the bench
+  // query loop) are single-job and unaffected. SparkContext-start conf,
+  // hence a system property.
+  "-Dspark.scheduler.mode=FAIR",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // default G1: an A/B against ParallelGC showed G1 ~25% faster on the
   // string-heavy pipeline at 8 threads; SPARK_GRAFT_GC overrides for

@@ -231,6 +231,145 @@ object Pipeline {
       }
     }
 
+    // The five edge builders with EAGER actions inside (bounded-posting
+    // caps + near-dup candidate materialization) start as soon as their
+    // OWN inputs exist — not after the extract commit. near_dup and
+    // regulates depend only on the doc/order fixtures and fire
+    // immediately; the three lineFacts families chain on canonF (the
+    // canonicalization commit, which finishes a few seconds in) via
+    // future composition instead of an inline Await that would serialize
+    // them behind the extract write. Their jobs back-fill the extract/
+    // mentions stages' idle task slots (those stages keep well under
+    // half the slots busy — guide §2.6 job overlap); previously they
+    // could only start after extract + audit, which left the edges-plan
+    // await blocking ~10 s on work that had barely started. Resume
+    // discipline preserved: when the edges snapshot is already fresh, no
+    // future is started and nothing here materializes. Job labels are
+    // thread-local, so each family's jobs stay attributable.
+    val edgesFresh =
+      GraphStore.committedFingerprint(storeBase, "edges").contains(fpEdges)
+    def describe[T](desc: String)(f: => T): T = {
+      spark.sparkContext.setJobDescription(desc)
+      try f finally spark.sparkContext.setJobDescription(null)
+    }
+    def eager[T](desc: String)(f: => T): Future[T] =
+      if (edgesFresh) null else Future(describe(desc)(f))
+    // followed_by is both its own family and the regulates input —
+    // PERSISTED so it truly computes once (ADVICE r4). Lazy — a resumed
+    // run never materializes it; unpersisted after the edges commit.
+    val followedBy = Corpus.followedByEdges(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nearDupF = eager("edges: near_dup_of")(
+      graft.textops.DedupOps.minhashNearDupPairsFromSigs(docFacts)
+        .select(
+          concat(lit("DOC:"), col("id1")).as("subject_id"),
+          lit("near_dup_of").as("relation_label"),
+          concat(lit("DOC:"), col("id2")).as("object_id"),
+          col("common"), col("size1"), col("size2")))
+    val regulatesF = eager("edges: regulates")(
+      Corpus.regulatesFrom(followedBy))
+    // The SHARED line-fact projection (r4 Next #2): ~14 edge families
+    // all reduce the same enriched lineitem (⨝ orders ⨝ customer ⨝
+    // part ⨝ canon, dims broadcast). Built as a continuation of the
+    // canonicalization future and persisted lazily — a resumed run
+    // never materializes it.
+    val lineFactsF: Future[DataFrame] = canonF.map { canon =>
+      Corpus.lineFacts(spark, sfDir, Some(canon))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    def eagerLf[T](desc: String)(f: DataFrame => T): Future[T] =
+      if (edgesFresh) null else lineFactsF.map(lf => describe(desc)(f(lf)))
+    val bundleWithF = eagerLf("edges: bundle_with")(Corpus.bundleWithFrom)
+    val sharesPartF = eagerLf("edges: shares_part")(Corpus.sharesPartFrom)
+    val coPurchasedF = eagerLf("edges: co_purchased")(Corpus.coPurchasedFrom)
+
+    // Uniform sink projection: the named typed-prop columns of each
+    // family fold into the properties map (string-encoded, the
+    // KgSchema value-typing contract); skip-bad-relationships applies
+    // to every family at the edges commit.
+    def propsOf(df: DataFrame, keys: String*): DataFrame = {
+      val m =
+        if (keys.isEmpty) map().cast("map<string,string>")
+        else map(keys.flatMap(k => Seq(lit(k), col(k).cast("string"))): _*)
+      df.select(col("subject_id"), col("relation_label"), col("object_id"),
+        m.as("properties"))
+    }
+    // The ~35 LAZY family frames are built in PARALLEL futures, each
+    // starting as soon as its input frame exists (fixture dims and the
+    // shared doc/event facts: immediately; lineFacts consumers: when
+    // canonF resolves). Building a frame runs the ANALYZER on its plan
+    // — single-threaded driver CPU that used to execute serially inside
+    // one future after the pagesets commit, directly on the edges-plan
+    // await path (measured as a multi-second driver-only gap). The
+    // pagesets-dependent entries (evidence fusion, co_ordered) chain on
+    // `pageSetsP`, completed right after the pagesets commit below.
+    // Union ORDER is preserved exactly (fused +: the list order here).
+    val pageSetsP = scala.concurrent.Promise[(DataFrame, Int)]()
+    def fr(f: => DataFrame): Future[DataFrame] =
+      if (edgesFresh) null else Future(f)
+    def frLf(f: DataFrame => DataFrame): Future[DataFrame] =
+      if (edgesFresh) null else lineFactsF.map(lf => f(lf))
+    val coOrderedF: Future[DataFrame] =
+      if (edgesFresh) null
+      else for { (ps, _) <- pageSetsP.future; c <- canonF }
+        yield propsOf(Triples.coOrderedFromSets(ps, c)
+          .withColumn("sources", lit("web")), "sources")
+    val famFs: Seq[Future[DataFrame]] = if (edgesFresh) Nil else Seq(
+      fr(propsOf(Corpus.placedEdges(spark, sfDir), "year")),
+      frLf(lf => propsOf(Corpus.containsFrom(lf), "quantity", "extendedprice")),
+      fr(propsOf(Corpus.ofTypeEdges(spark, sfDir))),
+      fr(propsOf(Corpus.performedFrom(eventFacts), "n_events", "value_milli")),
+      fr(propsOf(Corpus.writtenInFrom(docFacts))),
+      fr(propsOf(Corpus.fromSourceFrom(docFacts))),
+      frLf(lf => propsOf(Corpus.fulfillsFrom(lf), "n_lines", "qty_milli")),
+      frLf(lf => propsOf(Corpus.supplyFrom(lf), "n_lines")),
+      fr(propsOf(Corpus.inRegionEdges(spark, sfDir))),
+      fr(propsOf(Corpus.brandedAsEdges(spark, sfDir))),
+      fr(propsOf(Corpus.inSegmentEdges(spark, sfDir))),
+      fr(propsOf(Corpus.fromNationEdges(spark, sfDir))),
+      frLf(lf => propsOf(Corpus.ratedFrom(lf), "med_qty_milli", "n_srcs")),
+      coOrderedF,
+      nearDupF match {
+        case null => null
+        case f => f.map(df => propsOf(df, "common", "size1", "size2"))
+      },
+      sharesPartF match {
+        case null => null
+        case f => f.map(df => propsOf(df, "n_common"))
+      },
+      coPurchasedF match {
+        case null => null
+        case f => f.map(df => propsOf(df, "n_common"))
+      },
+      fr(propsOf(Corpus.citesFrom(docFacts), "fp")),
+      fr(propsOf(Corpus.touchedEdges(spark, sfDir), "n_events", "value_milli")),
+      fr(propsOf(Corpus.peerOfEdges(spark, sfDir))),
+      fr(propsOf(Corpus.nextOrderEdges(spark, sfDir), "gap_days")),
+      frLf(lf => propsOf(Corpus.returnedFrom(lf), "n_returns", "qty_milli")),
+      frLf(lf => propsOf(Corpus.shipsToFrom(lf), "n_orders")),
+      fr(propsOf(Corpus.similarToFrom(docFacts), "hamming")),
+      fr(propsOf(followedBy, "n_times")),
+      fr(propsOf(Corpus.locatedInRegionEdges(spark, sfDir))),
+      frLf(lf => propsOf(Corpus.bestSupplierFrom(lf), "qty_milli")),
+      fr(propsOf(Corpus.closestPartEdges(spark, sfDir))),
+      // breadth block 5 — reference edge-vocabulary parity (40)
+      fr(propsOf(Corpus.inFamilyEdges(spark, sfDir))),
+      fr(propsOf(Corpus.variantOfEdges(spark, sfDir), "family")),
+      bundleWithF match {
+        case null => null
+        case f => f.map(df => propsOf(df, "n_common", "lift_milli"))
+      },
+      regulatesF match {
+        case null => null
+        case f => f.map(df => propsOf(df, "mode", "lift_milli"))
+      },
+      fr(propsOf(Corpus.prefersFrom(eventFacts), "n_events", "share_milli")),
+      frLf(lf => propsOf(Corpus.boughtFromFrom(lf), "n_orders", "days_span")),
+      fr(propsOf(Corpus.representativeOrderEdges(spark, sfDir), "totalprice_milli")),
+      frLf(lf => propsOf(Corpus.chargedWithFrom(lf), "n_items", "revenue_milli")),
+      fr(propsOf(Corpus.dominantLangFrom(docLangFacts), "n_docs", "share_milli")),
+      frLf(lf => propsOf(Corpus.handlesFrom(lf), "n_parts", "brands")))
+
     // Stage 1: extract (+ per-row audit vs the reference text column).
     // Explicit url-hash repartition happens BEFORE amplification: the
     // shuffle moves only the base corpus (replicas explode map-side in
@@ -257,57 +396,10 @@ object Pipeline {
     // metadata — no data scan); decides the hub-salting threshold below.
     val nPages = extracted.count()
 
-    // The canonicalization table is awaited BEFORE the mentions commit:
-    // canonF only needs the part table and finishes during extract, and
-    // resolving it here lets the canon-dependent eager edge builders
-    // below start their jobs underneath the mentions/pagesets/nodes
-    // stages instead of after them.
+    // canonF has long resolved by now (it only needs the part table);
+    // binding it here keeps the downstream code shape unchanged.
     val canon = Await.result(canonF, Duration.Inf)
-
-    // The SHARED line-fact projection (r4 Next #2): ~14 edge families
-    // all reduce the same enriched lineitem (⨝ orders ⨝ customer ⨝
-    // part ⨝ canon, dims broadcast). Materialized ONCE here and every
-    // family below is a pure group-by over the cached frame. persist()
-    // is lazy, so a resumed run never materializes it.
-    val lineFacts = Corpus.lineFacts(spark, sfDir, Some(canon))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // followed_by is both its own family and the regulates input —
-    // PERSISTED so it truly computes once (ADVICE r4). Lazy, like
-    // lineFacts; unpersisted after the edges commit.
-    val followedBy = Corpus.followedByEdges(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The five edge builders with EAGER actions inside (bounded-posting
-    // caps + near-dup candidate materialization) start BEFORE the nodes
-    // commit: the nodes write keeps only ~1/3 of the task slots busy,
-    // so these families' jobs back-fill the idle capacity instead of
-    // serializing after it (guide-style job overlap). Resume
-    // discipline preserved: when the edges snapshot is already fresh,
-    // no future is started and nothing here materializes.
-    // Job labels are thread-local, so each family's jobs stay
-    // attributable in listener timelines.
-    val edgesFresh =
-      GraphStore.committedFingerprint(storeBase, "edges").contains(fpEdges)
-    def eager[T](desc: String)(f: => T): Future[T] =
-      if (edgesFresh) null
-      else Future {
-        spark.sparkContext.setJobDescription(desc)
-        try f finally spark.sparkContext.setJobDescription(null)
-      }
-    val bundleWithF = eager("edges: bundle_with")(
-      Corpus.bundleWithFrom(lineFacts))
-    val regulatesF = eager("edges: regulates")(
-      Corpus.regulatesFrom(followedBy))
-    val nearDupF = eager("edges: near_dup_of")(
-      graft.textops.DedupOps.minhashNearDupPairsFromSigs(docFacts)
-        .select(
-          concat(lit("DOC:"), col("id1")).as("subject_id"),
-          lit("near_dup_of").as("relation_label"),
-          concat(lit("DOC:"), col("id2")).as("object_id"),
-          col("common"), col("size1"), col("size2")))
-    val sharesPartF = eager("edges: shares_part")(
-      Corpus.sharesPartFrom(lineFacts))
-    val coPurchasedF = eager("edges: co_purchased")(
-      Corpus.coPurchasedFrom(lineFacts))
+    val lineFacts = Await.result(lineFactsF, Duration.Inf)
 
     // Stage 2: mentions (broadcast trie; fact side never shuffles).
     val mentions = GraphStore.getOrCompute(spark, storeBase, "mentions",
@@ -324,6 +416,13 @@ object Pipeline {
         inputFp = s"pagesets-v1;$fpMentions;$fpCanon", lineageAsync = true) {
       Triples.perPageEntitySets(mentions, canon)
     }
+    // Hub-skew guard: past the page threshold, witness aggregation
+    // runs two-phase salted (value-hash cells) so a popular edge's
+    // fan-in spreads over 8 reducers before the bounded cap applies —
+    // bit-identical to the single-phase path by merge associativity.
+    pageSetsP.success((pageSets,
+      if (nPages >= Triples.SaltPageThreshold) Triples.DefaultEvidenceSalts
+      else 1))
     // Triples is a reporting artifact (edges re-derive with evidence),
     // so it runs concurrently with the nodes stage.
     val triplesF = Future {
@@ -332,98 +431,37 @@ object Pipeline {
         Triples.extractFromSets(pageSets, canon)
       }
     }
-    // The edges union PLAN is also built concurrently with the nodes
-    // commit: constructing ~40 family frames runs the analyzer on each
-    // growing tree — pure single-threaded driver work that previously
-    // sat as a multi-second dead gap between the nodes commit and the
-    // first edges job, exactly when the driver is otherwise idle. The
-    // union itself folds as a balanced tree: a left fold re-analyzes a
-    // linearly growing plan per step (quadratic in family count) for
+    // The edges union PLAN: the evidence fusion chains on the pagesets
+    // commit + lineFacts, every other family frame was already built in
+    // a parallel future above (ALL 40 declared edge families — KgSchema
+    // — ride the same store path; the persisted graph IS the declared
+    // schema, not a subset; store census == q_graph_census, spec'd).
+    // The union itself folds as a balanced tree: a left fold re-analyzes
+    // a linearly growing plan per step (quadratic in family count) for
     // the same flattened Union the optimizer produces either way.
-    val edgesPlanF: Future[DataFrame] = if (edgesFresh) null else Future {
+    val edgesPlanF: Future[DataFrame] = if (edgesFresh) null else {
       import graft.merge.MergeSources
-      // Hub-skew guard: past the page threshold, witness aggregation
-      // runs two-phase salted (value-hash cells) so a popular edge's
-      // fan-in spreads over 8 reducers before the bounded cap applies —
-      // bit-identical to the single-phase path by merge associativity.
-      val salts =
-        if (nPages >= Triples.SaltPageThreshold) Triples.DefaultEvidenceSalts
-        else 1
-      val fused = MergeSources.mergeAll(
-        Seq(Triples.evidenceFromSets(pageSets, canon, salts = salts),
-          Corpus.ledgerFrom(lineFacts)),
-        keys = Seq("subject_id", "relation_label", "object_id"),
-        rules = Seq(
-          MergeSources.PipeSetUnion("sources"),
-          MergeSources.PipeSetUnion("evidence")))
-        .withColumn("properties", map(
-          lit("sources"), col("sources"),
-          lit("evidence"), col("evidence"),
-          lit("n_pages"), coalesce(col("n_pages"), lit(0L)).cast("string"),
-          lit("n_lines"), coalesce(col("n_lines"), lit(0L)).cast("string")))
-        .select(col("subject_id"), col("relation_label"), col("object_id"),
-          col("properties"))
-      // Uniform sink projection: the named typed-prop columns of each
-      // family fold into the properties map (string-encoded, the
-      // KgSchema value-typing contract); skip-bad-relationships applies
-      // to every family below.
-      def props(df: org.apache.spark.sql.DataFrame, keys: String*) = {
-        val m =
-          if (keys.isEmpty) map().cast("map<string,string>")
-          else map(keys.flatMap(k => Seq(lit(k), col(k).cast("string"))): _*)
-        df.select(col("subject_id"), col("relation_label"), col("object_id"),
-          m.as("properties"))
-      }
-      // ALL declared edge families (KgSchema: 40 total) ride the same
-      // store path — the persisted graph IS the declared schema, not a
-      // subset (store census == q_graph_census, spec'd). The five eager
-      // builders above are awaited where their outputs join the union.
-      val rest = Seq(
-        props(Corpus.placedEdges(spark, sfDir), "year"),
-        props(Corpus.containsFrom(lineFacts), "quantity", "extendedprice"),
-        props(Corpus.ofTypeEdges(spark, sfDir)),
-        props(Corpus.performedFrom(eventFacts), "n_events", "value_milli"),
-        props(Corpus.writtenInFrom(docFacts)),
-        props(Corpus.fromSourceFrom(docFacts)),
-        props(Corpus.fulfillsFrom(lineFacts), "n_lines", "qty_milli"),
-        props(Corpus.supplyFrom(lineFacts), "n_lines"),
-        props(Corpus.inRegionEdges(spark, sfDir)),
-        props(Corpus.brandedAsEdges(spark, sfDir)),
-        props(Corpus.inSegmentEdges(spark, sfDir)),
-        props(Corpus.fromNationEdges(spark, sfDir)),
-        props(Corpus.ratedFrom(lineFacts), "med_qty_milli", "n_srcs"),
-        props(Triples.coOrderedFromSets(pageSets, canon)
-          .withColumn("sources", lit("web")), "sources"),
-        props(Await.result(nearDupF, Duration.Inf), "common", "size1", "size2"),
-        props(Await.result(sharesPartF, Duration.Inf), "n_common"),
-        props(Await.result(coPurchasedF, Duration.Inf), "n_common"),
-        props(Corpus.citesFrom(docFacts), "fp"),
-        props(Corpus.touchedEdges(spark, sfDir), "n_events", "value_milli"),
-        props(Corpus.peerOfEdges(spark, sfDir)),
-        props(Corpus.nextOrderEdges(spark, sfDir), "gap_days"),
-        props(Corpus.returnedFrom(lineFacts), "n_returns", "qty_milli"),
-        props(Corpus.shipsToFrom(lineFacts), "n_orders"),
-        props(Corpus.similarToFrom(docFacts), "hamming"),
-        props(followedBy, "n_times"),
-        props(Corpus.locatedInRegionEdges(spark, sfDir)),
-        props(Corpus.bestSupplierFrom(lineFacts), "qty_milli"),
-        props(Corpus.closestPartEdges(spark, sfDir)),
-        // breadth block 5 — reference edge-vocabulary parity (40)
-        props(Corpus.inFamilyEdges(spark, sfDir)),
-        props(Corpus.variantOfEdges(spark, sfDir), "family"),
-        props(Await.result(bundleWithF, Duration.Inf), "n_common", "lift_milli"),
-        props(Await.result(regulatesF, Duration.Inf), "mode", "lift_milli"),
-        props(Corpus.prefersFrom(eventFacts), "n_events", "share_milli"),
-        props(Corpus.boughtFromFrom(lineFacts), "n_orders", "days_span"),
-        props(Corpus.representativeOrderEdges(spark, sfDir), "totalprice_milli"),
-        props(Corpus.chargedWithFrom(lineFacts), "n_items", "revenue_milli"),
-        props(Corpus.dominantLangFrom(docLangFacts), "n_docs", "share_milli"),
-        props(Corpus.handlesFrom(lineFacts), "n_parts", "brands"))
+      val fusedF = for { (ps, salts) <- pageSetsP.future; lf <- lineFactsF }
+        yield MergeSources.mergeAll(
+          Seq(Triples.evidenceFromSets(ps, canon, salts = salts),
+            Corpus.ledgerFrom(lf)),
+          keys = Seq("subject_id", "relation_label", "object_id"),
+          rules = Seq(
+            MergeSources.PipeSetUnion("sources"),
+            MergeSources.PipeSetUnion("evidence")))
+          .withColumn("properties", map(
+            lit("sources"), col("sources"),
+            lit("evidence"), col("evidence"),
+            lit("n_pages"), coalesce(col("n_pages"), lit(0L)).cast("string"),
+            lit("n_lines"), coalesce(col("n_lines"), lit(0L)).cast("string")))
+          .select(col("subject_id"), col("relation_label"), col("object_id"),
+            col("properties"))
       def unionTree(dfs: Seq[DataFrame]): DataFrame =
         if (dfs.size == 1) dfs.head
         else unionTree(dfs.grouped(2).map(g =>
           if (g.size == 2) g(0).unionByName(g(1)) else g(0)).toSeq)
-      unionTree(fused +: rest)
+      for { fused <- fusedF; rest <- Future.sequence(famFs) }
+        yield unionTree(fused +: rest)
     }
     val nodes = Await.result(nodesF, Duration.Inf)
     mark("nodes")
