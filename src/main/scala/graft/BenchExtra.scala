@@ -99,6 +99,34 @@ object BenchExtra {
           .filter(col("pl.total") >= 2 && col("pl.total") <= 65536)
           .select(graft.functions.PairExprs.unorderedPairs(col("pl.items"))
             .as(Seq("k1", "k2")))),
+      // Reference-width embedding evidence (VERDICT r6 Missing #3): the
+      // reference's vectors are 1024/1280-d float16 (ProtT5 / ESM), the
+      // fixtures 64-d. These entries tile each fixture vector to 1024-d
+      // deterministically (16 scaled copies) and run the real kernels at
+      // that width: per-row SRP signature + full centroid-distance map
+      // (vec1024_cols), and the complete IVF-SQ8 ANN query path
+      // (vec1024_sq8) — C=16 fixed centroids at dim=1024, same
+      // parameters as q_knn_sq8 otherwise.
+      "vec1024_cols" -> (() => {
+        val wide = Corpus.table(spark, sfDir, "embeddings")
+          .select(col("vec_id").as("id"),
+            flatten(transform(sequence(lit(0), lit(15)), r =>
+              transform(col("embedding"),
+                x => (x * (lit(1.0f) + r.cast("float") / lit(16.0f))).cast("float")))).as("emb"))
+        val cents = graft.sim.Ivf.fixedCentroids(16, 1024)
+        wide.select(col("id"),
+          graft.functions.VectorExprs.srpSig(col("emb"), 6, 0).as("sig"),
+          graft.functions.VectorExprs.centroidDists(col("emb"), cents).as("cd"))
+      }),
+      "vec1024_sq8" -> (() => {
+        val wide = Corpus.table(spark, sfDir, "embeddings")
+          .select(col("vec_id").as("id"),
+            flatten(transform(sequence(lit(0), lit(15)), r =>
+              transform(col("embedding"),
+                x => (x * (lit(1.0f) + r.cast("float") / lit(16.0f))).cast("float")))).as("emb"))
+        graft.sim.Quant.ivfTopKSq8(wide, k = 5, nprobe = 4, maxList = 4096,
+          centroids = graft.sim.Ivf.fixedCentroids(16, 1024))
+      }),
       "cp_grouped" -> (() =>
         Corpus.lineFacts(spark, sfDir, None)
           .select(col("pk").as("item"), col("ok").cast("long").as("k")).distinct()

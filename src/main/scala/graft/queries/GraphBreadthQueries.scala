@@ -184,8 +184,12 @@ object GraphBreadthQueries {
       val lines = raw.select(
         when(pmod(col("k"), lit(101)) === 0,
           expr("substring(j, 1, length(j) - 5)")).otherwise(col("j")).as("value"))
+      // Per-invocation unique suffix (ADVICE r6): an applicationId-only
+      // path races two CONCURRENT invocations in the same Spark app
+      // (one call's overwrite/delete could interleave with the other's
+      // write-then-read window before its localCheckpoint completes).
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
-        s.sparkContext.applicationId
+        s.sparkContext.applicationId + "_" + java.util.UUID.randomUUID()
       lines.coalesce(4).write.mode("overwrite").text(path)
       // materialize BEFORE cleanup: a lazily-read result would race a
       // re-invocation's overwrite of the same path (the q_warc_read

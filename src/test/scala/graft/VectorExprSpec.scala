@@ -80,6 +80,45 @@ class VectorExprSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("kernels stay bit-identical at reference width (1024-d)") {
+    // The reference's embeddings are 1024/1280-d (ProtT5/ESM); the
+    // fixtures are 64-d. Tile each fixture vector to 1024-d with scaled
+    // copies and assert the native kernels still match their composable
+    // Column forms bit-for-bit — the exactness envelope of the
+    // sequential-fold contract must not depend on width.
+    val wide = emb.select(col("id"),
+      flatten(transform(sequence(lit(0), lit(15)), r =>
+        transform(col("emb"),
+          x => (x * (lit(1.0f) + r.cast("float") / lit(16.0f))).cast("float")))).as("emb"))
+    // floatDot at 1024-d
+    val a = wide.select(col("id").as("id1"), col("emb").as("e1"))
+    val b = wide.select(col("id").as("id2"), col("emb").as("e2"))
+    val pairs = a.join(b, col("id1") % 7 === col("id2") % 7 && col("id1") < col("id2"))
+      .limit(500)
+    assert(pairs
+      .select(Knn.dot(col("e1"), col("e2")).as("nat"),
+        Knn.dotHof(col("e1"), col("e2")).as("hof"))
+      .filter(col("nat") =!= col("hof")).count() === 0L)
+    // SRP signature at 1024-d (native loop vs unrolled Column form)
+    assert(wide
+      .select(Knn.srpSignature(col("emb"), 6, 0).as("nat"),
+        Knn.srpSignatureUnrolled(col("emb"), 1024, 6, 0).as("hof"))
+      .filter(col("nat") =!= col("hof")).count() === 0L)
+    // CentroidDists at 1024-d vs an explicit sequential double fold
+    // (seed 0.0, term order d = 1..dim — the oracle-modeled order)
+    val cents = graft.sim.Ivf.fixedCentroids(2, 1024)
+    def distHof(e: org.apache.spark.sql.Column,
+                c: Array[Double]): org.apache.spark.sql.Column =
+      (0 until 1024).foldLeft(lit(0.0)) { (acc, d) =>
+        val diff = element_at(e, d + 1).cast("double") - lit(c(d))
+        acc + diff * diff
+      }
+    assert(wide
+      .select(VectorExprs.centroidDists(col("emb"), cents).as("nat"),
+        array(distHof(col("emb"), cents(0)), distHof(col("emb"), cents(1))).as("hof"))
+      .filter(col("nat") =!= col("hof")).count() === 0L)
+  }
+
   test("floatDot null semantics match the HOF form: null array, null element, length mismatch") {
     val schema = StructType(Seq(
       StructField("a", ArrayType(FloatType, containsNull = true), nullable = true),
