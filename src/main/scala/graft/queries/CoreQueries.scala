@@ -75,7 +75,7 @@ object CoreQueries {
         lit("Content-Length: 25\r\n\r\n"),
         lit("software: graft-synth 1.0"), lit("\r\n\r\n")).as("value"))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_warc_" +
-        s.sparkContext.applicationId
+        s.sparkContext.applicationId + "_" + java.util.UUID.randomUUID()
       recs.unionByName(info).coalesce(4).write.mode("overwrite").text(path)
       val out = graft.sources.Warc.read(s, path)
         .filter(col("warc_type") === "response" && col("http_status") === "200")
@@ -131,7 +131,7 @@ object CoreQueries {
       val dict = Corpus.aliasDict(s, dir)
       val canon = Corpus.canonicalIds(s, dir).localCheckpoint(true)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_streamq_" +
-        s.sparkContext.applicationId
+        s.sparkContext.applicationId + "_" + java.util.UUID.randomUUID()
       val inDir = s"$base/in"
       // distributed write: the corpus lands as 3 parquet files = 3
       // micro-batches; the driver never holds a page
@@ -162,7 +162,7 @@ object CoreQueries {
       tune(s)
       val dict = Corpus.aliasDict(s, dir)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_streaminc_" +
-        s.sparkContext.applicationId
+        s.sparkContext.applicationId + "_" + java.util.UUID.randomUUID()
       val inDir = s"$base/in"
       val store = s"$base/store"
       // The CDC-shaped event log lands as parquet files — pages first,

@@ -198,7 +198,7 @@ object TextQueries {
       tune(s)
       import s.implicits._
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_streamnd_" +
-        s.sparkContext.applicationId
+        s.sparkContext.applicationId + "_" + java.util.UUID.randomUUID()
       val inDir = s"$base/in"
       val store = s"$base/store"
       // distributed write: 3 parquet files = 3 micro-batches; the
